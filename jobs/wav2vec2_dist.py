@@ -1,0 +1,64 @@
+"""Wav2Vec2 distributed pretraining job (tiny/small/base) on TPU.
+
+Drop-in equivalent of reference speech_jobs/wav2vec2_dist.py: same CLI,
+hardened train step (NaN scrub, 1/N loss scaling, double clipping), 50-step +
+epoch checkpoint cadence, JCT contract.
+
+Usage: python jobs/wav2vec2_dist.py --batch_size 4 --num_batches 30 --model_size small
+"""
+
+import argparse
+import time
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobs._common import add_common_flags  # noqa: E402
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="wav2vec2 Distributed Speech Recognition"
+    )
+    add_common_flags(parser, num_batches_default=5, batch_size_default=1)
+    parser.add_argument(
+        "--model_size", type=str, default="small",
+        choices=["tiny", "small", "base"],
+        help="Model size: tiny (~15-20M params), small (~30-40M params), "
+             "base (~95M params)",
+    )
+    args = parser.parse_args()
+
+    from tethys_tpu.parallel import mesh as mesh_lib
+    from tethys_tpu.train import jobs
+    from tethys_tpu.utils import artifacts
+
+    mesh_lib.initialize_distributed()
+    mesh = mesh_lib.make_data_mesh()
+    n_replicas = mesh_lib.num_replicas(mesh)
+    global_batch = args.batch_size * n_replicas
+    print(f"selected model size: {args.model_size}")
+    print(f"batch size per replica: {args.batch_size}, "
+          f"global batch size: {global_batch}")
+    print(f"num_batches: {args.num_batches}")
+
+    print("Wav2Vec2 distributed training starting...")
+    artifacts.start_side_captures()
+
+    start = time.time()
+    result, _model, _config = jobs.train_wav2vec2(
+        model_type="pretraining",
+        model_size=args.model_size,
+        batch_size_per_replica=args.batch_size,
+        num_batches=args.num_batches,
+        mesh=mesh,
+        compute_dtype=args.dtype,
+    )
+    jct = time.time() - start
+    jobs.finalize_job(result, f"wav2vec2_{args.model_size}_model", jct)
+
+
+if __name__ == "__main__":
+    main()

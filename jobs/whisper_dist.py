@@ -1,0 +1,56 @@
+"""Whisper-small distributed training job (TPU).
+
+Drop-in equivalent of reference speech_jobs/whisper_dist.py (CLI, stdout
+line protocol, JCT/result-file contract, checkpoint cadence), with the DP
+runtime replaced by jit + shard_map over a device mesh.
+
+Usage: python jobs/whisper_dist.py --batch_size 4 --num_batches 30
+"""
+
+import argparse
+import time
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobs._common import add_common_flags  # noqa: E402
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Whisper-small Distributed Speech Recognition"
+    )
+    add_common_flags(parser, num_batches_default=40, batch_size_default=1)
+    args = parser.parse_args()
+
+    from tethys_tpu.parallel import mesh as mesh_lib
+    from tethys_tpu.train import jobs
+    from tethys_tpu.utils import artifacts
+
+    mesh_lib.initialize_distributed()
+    mesh = mesh_lib.make_data_mesh()
+    n_replicas = mesh_lib.num_replicas(mesh)
+    global_batch = args.batch_size * n_replicas
+    print(f"batch size per replica: {args.batch_size}, "
+          f"global batch size: {global_batch}")
+    print(f"num_batches: {args.num_batches}")
+
+    print("Whisper-small distributed training starting...")
+    artifacts.start_side_captures()
+
+    start = time.time()
+    result, _model, _config = jobs.train_whisper(
+        model_type="small",
+        batch_size_per_replica=args.batch_size,
+        num_batches=args.num_batches,
+        mesh=mesh,
+        compute_dtype=args.dtype,
+    )
+    jct = time.time() - start
+    jobs.finalize_job(result, "whisper_small_model", jct)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""End-to-end smoke tests: tiny configs, 8-way DP mesh, full contracts.
+
+The TPU analogue of the reference's "does the job run N steps and print a
+decreasing-ish loss" verification (SURVEY §4), plus log-line / JCT / ckpt
+contract checks the reference never had.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from tethys_tpu.parallel.mesh import make_data_mesh
+from tethys_tpu.train import jobs
+from tethys_tpu.utils.artifacts import write_jct
+
+TINY_WHISPER = dict(
+    d_model=32, encoder_layers=1, encoder_attention_heads=2,
+    decoder_layers=1, decoder_attention_heads=2, d_ff=64,
+    n_mels=8, n_ctx=64, vocab_size=128, max_target_positions=128,
+    decoder_start_token_id=101,
+)
+
+TINY_W2V2 = dict(
+    hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+    intermediate_size=64,
+    conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+    num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=4,
+    num_codevectors_per_group=12, num_codevector_groups=2,
+    codevector_dim=16, proj_codevector_dim=16, num_negatives=6,
+    classifier_proj_size=16,
+)
+
+LOG_RE = re.compile(
+    r"Step \d+, Loss: -?\d+\.\d{4}, Time: \d{2}:\d{2}:\d{2} "
+    r"\(경과: \d+\.\d{2}초, 스텝 시간: \d+\.\d{2}초\)"
+)
+
+
+def test_whisper_job_e2e(tmp_path, capsys):
+    mesh = make_data_mesh(8)
+    result, model, config = jobs.train_whisper(
+        model_type="small",
+        batch_size_per_replica=1,
+        num_batches=3,
+        mesh=mesh,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        data_seq_len=128,
+        config_overrides=TINY_WHISPER,
+    )
+    out = capsys.readouterr().out
+    assert "Epoch 1/1" in out
+    assert len(LOG_RE.findall(out)) == 3
+    assert result.total_steps == 3
+    assert all(np.isfinite(result.losses))
+    # epoch checkpoint saved
+    assert any("whisper_small_epoch_1" in d
+               for d in os.listdir(tmp_path / "ckpt"))
+
+
+@pytest.mark.parametrize("model_type", ["pretraining", "asr", "classification"])
+def test_wav2vec2_job_e2e(tmp_path, model_type):
+    mesh = make_data_mesh(8)
+    result, model, config = jobs.train_wav2vec2(
+        model_type=model_type,
+        model_size="small",
+        batch_size_per_replica=1,
+        num_batches=2,
+        mesh=mesh,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        audio_length=1600,
+        config_overrides=TINY_W2V2,
+    )
+    assert result.total_steps == 2
+    assert all(np.isfinite(result.losses))
+
+
+def test_wav2vec2_loss_decreases(tmp_path):
+    """Loss trend sanity over a few steps (fixed data, lr bumped)."""
+    mesh = make_data_mesh(1)
+    result, _, _ = jobs.train_wav2vec2(
+        model_type="classification",
+        batch_size_per_replica=4,
+        num_batches=8,
+        learning_rate=3e-3,
+        mesh=mesh,
+        checkpointing=False,
+        audio_length=1600,
+        config_overrides=TINY_W2V2,
+    )
+    assert result.losses[-1] < result.losses[0]
+
+
+def test_jct_contract(tmp_path, monkeypatch):
+    ws = os.environ["TETHYS_WORKSPACE"]
+    res = os.environ["TETHYS_RESULT"]
+    with open(os.path.join(ws, "model.txt"), "w") as f:
+        f.write("whisper-job\n")
+    os.makedirs(os.path.join(res, "whisper-job"), exist_ok=True)
+    path = write_jct(12.3456, "worker", 0)
+    assert path.endswith("whisper-job/worker_0_jct.txt")
+    with open(path) as f:
+        assert f.read() == "12.35"
+    single = write_jct(7.0, None, None, single=True)
+    assert single.endswith("whisper-job/single_jct.txt")
+
+
+def test_jct_missing_volume_is_swallowed(monkeypatch):
+    monkeypatch.setenv("TETHYS_WORKSPACE", "/nonexistent-ws")
+    assert write_jct(1.0, "worker", 0) is None

@@ -1,0 +1,123 @@
+"""Op-level parity tests against TF goldens (gelu, GroupNorm, SAME conv)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tethys_tpu.ops.activations import gelu
+from tethys_tpu.ops.masks import (
+    apply_feature_mask,
+    apply_time_mask,
+    causal_additive_mask,
+)
+from tethys_tpu.ops.norms import ReferenceGroupNorm
+from tethys_tpu.ops.posenc import sinusoidal_table
+
+
+def test_gelu_is_exact_erf():
+    tf = pytest.importorskip("tensorflow")
+    x = np.linspace(-4, 4, 101).astype(np.float32)
+    got = np.asarray(gelu(jnp.asarray(x)))
+    want = (0.5 * x * (1.0 + tf.math.erf(x / np.sqrt(2.0).astype(np.float32)))
+            ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_group_norm_reference_semantics():
+    """Moments over (time, channels-in-group) per (batch, group) — the
+    reference's hand-rolled GroupNormalization math."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 9, 12)).astype(np.float32)
+    groups = 4
+    gn = ReferenceGroupNorm(groups=groups)
+    variables = gn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(gn.apply(variables, jnp.asarray(x)))
+
+    # Golden: replicate the reshape→transpose→moments([1,2]) math in numpy.
+    b, t, c = x.shape
+    xg = x.reshape(b, t, groups, c // groups).transpose(0, 1, 3, 2)
+    mean = xg.mean(axis=(1, 2), keepdims=True)
+    var = xg.var(axis=(1, 2), keepdims=True)
+    normed = (xg - mean) / np.sqrt(var + 1e-5)
+    want = normed.transpose(0, 1, 3, 2).reshape(b, t, c)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_same_conv_matches_tf():
+    """flax SAME conv (stride>1) must match tf.keras Conv1D 'same' output
+    length and values — the padding arithmetic changes every downstream
+    shape (SURVEY §7 hard part c)."""
+    tf = pytest.importorskip("tensorflow")
+    import flax.linen as nn
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 23, 3)).astype(np.float32)
+    kernel = rng.standard_normal((10, 3, 5)).astype(np.float32)  # [K, Cin, Cout]
+
+    conv = nn.Conv(5, kernel_size=(10,), strides=(5,), padding="SAME",
+                   use_bias=False)
+    variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = {"params": {"kernel": jnp.asarray(kernel)}}
+    got = np.asarray(conv.apply(variables, jnp.asarray(x)))
+
+    tf_layer = tf.keras.layers.Conv1D(5, 10, strides=5, padding="same",
+                                      use_bias=False)
+    tf_layer.build((None, 23, 3))
+    tf_layer.set_weights([kernel])
+    want = tf_layer(tf.constant(x)).numpy()
+    assert got.shape == want.shape == (1, 5, 5)  # ceil(23/5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_conv_matches_tf():
+    tf = pytest.importorskip("tensorflow")
+    import flax.linen as nn
+
+    rng = np.random.default_rng(1)
+    cin = cout = 8
+    groups = 4
+    x = rng.standard_normal((2, 16, cin)).astype(np.float32)
+    kernel = rng.standard_normal((6, cin // groups, cout)).astype(np.float32)
+
+    conv = nn.Conv(cout, kernel_size=(6,), padding="SAME",
+                   feature_group_count=groups, use_bias=False)
+    variables = {"params": {"kernel": jnp.asarray(kernel)}}
+    got = np.asarray(conv.apply(variables, jnp.asarray(x)))
+
+    tf_layer = tf.keras.layers.Conv1D(cout, 6, padding="same", groups=groups,
+                                      use_bias=False)
+    tf_layer.build((None, 16, cin))
+    tf_layer.set_weights([kernel])
+    want = tf_layer(tf.constant(x)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sinusoidal_table_values():
+    pe = sinusoidal_table(16, 8)
+    assert pe.shape == (16, 8)
+    np.testing.assert_allclose(pe[0], np.array([0, 1] * 4, dtype=np.float32))
+    div = np.exp(np.arange(0, 8, 2) * -(np.log(10000.0) / 8))
+    np.testing.assert_allclose(pe[3, 0::2], np.sin(3 * div), rtol=1e-5)
+    np.testing.assert_allclose(pe[3, 1::2], np.cos(3 * div), rtol=1e-5)
+
+
+def test_causal_mask():
+    bias = np.asarray(causal_additive_mask(4))[0, 0]
+    assert bias.shape == (4, 4)
+    assert np.all(bias[np.tril_indices(4)] == 0.0)
+    assert np.all(bias[np.triu_indices(4, k=1)] < -1e8)
+
+
+def test_specaugment_masks():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 40, 6))
+    masked = np.asarray(apply_time_mask(rng, x, mask_prob=0.2, mask_length=5))
+    # masked positions are whole-timestep zeros
+    zero_rows = (masked == 0).all(axis=2)
+    assert zero_rows.any()
+    fmasked = np.asarray(
+        apply_feature_mask(rng, x, mask_prob=0.5, mask_length=2)
+    )
+    zero_cols = (fmasked == 0).all(axis=1)
+    assert zero_cols.any()

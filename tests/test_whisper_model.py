@@ -1,0 +1,135 @@
+"""Whisper model unit tests: shapes, loss semantics, generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tethys_tpu.configs import WhisperConfig
+from tethys_tpu.models.whisper import (
+    WhisperForConditionalGeneration,
+    create_whisper_model,
+    greedy_generate,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    config = WhisperConfig(
+        d_model=64, encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4, d_ff=128,
+        n_mels=8, n_ctx=32, vocab_size=50, max_target_positions=16,
+        decoder_start_token_id=47,
+    )
+    model = WhisperForConditionalGeneration(config)
+    rng = jax.random.PRNGKey(0)
+    features = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 64), dtype=np.float32)
+    )
+    labels = jnp.asarray(
+        np.random.default_rng(1).integers(3, 40, size=(2, 10)), dtype=jnp.int32
+    )
+    params = model.init(
+        {"params": rng, "dropout": rng}, features, labels=labels,
+        deterministic=True,
+    )["params"]
+    return model, config, params, features, labels
+
+
+def test_forward_shapes(tiny_setup):
+    model, config, params, features, labels = tiny_setup
+    out = model.apply({"params": params}, features, labels=labels,
+                      deterministic=True)
+    # encoder: T=64 → conv2 stride 2 → 32
+    assert out["encoder_last_hidden_state"].shape == (2, 32, 64)
+    assert out["logits"].shape == (2, 10, 50)
+    assert out["loss"].shape == ()
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_loss_is_shifted_ce(tiny_setup):
+    """Loss must equal mean CE of logits[:, :-1] vs labels[:, 1:]."""
+    model, config, params, features, labels = tiny_setup
+    out = model.apply({"params": params}, features, labels=labels,
+                      deterministic=True)
+    logits = np.asarray(out["logits"], dtype=np.float64)
+    lab = np.asarray(labels)
+    shift_logits = logits[:, :-1]
+    shift_labels = lab[:, 1:]
+    logz = np.log(np.exp(shift_logits).sum(-1))
+    ce = logz - np.take_along_axis(
+        shift_logits, shift_labels[..., None], axis=-1
+    )[..., 0]
+    np.testing.assert_allclose(float(out["loss"]), ce.mean(), rtol=1e-4)
+
+
+def test_teacher_forcing_shift(tiny_setup):
+    """decoder_input_ids built from labels must equal explicit right-shift."""
+    model, config, params, features, labels = tiny_setup
+    shifted = jnp.concatenate(
+        [jnp.full((2, 1), config.decoder_start_token_id, dtype=labels.dtype),
+         labels[:, :-1]], axis=1,
+    )
+    out_auto = model.apply({"params": params}, features, labels=labels,
+                           deterministic=True)
+    out_explicit = model.apply(
+        {"params": params}, features, decoder_input_ids=shifted,
+        labels=labels, deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_auto["logits"]), np.asarray(out_explicit["logits"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_causal_masking(tiny_setup):
+    """Changing a future label must not affect earlier logits."""
+    model, config, params, features, labels = tiny_setup
+    out1 = model.apply({"params": params}, features, labels=labels,
+                       deterministic=True)
+    labels2 = labels.at[:, -1].set(5)
+    out2 = model.apply({"params": params}, features, labels=labels2,
+                       deterministic=True)
+    # positions < T-1 see identical inputs (the change enters at input T-1)
+    np.testing.assert_allclose(
+        np.asarray(out1["logits"][:, :-1]), np.asarray(out2["logits"][:, :-1]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_generate_matches_uncached_argmax(tiny_setup):
+    """KV-cached greedy decode must equal the naive full-prefix argmax loop."""
+    model, config, params, features, _ = tiny_setup
+    max_len = 8
+    tokens, length = jax.jit(
+        lambda v, f: greedy_generate(model, v, f, max_length=max_len)
+    )({"params": params}, features)
+    tokens = np.asarray(tokens)
+
+    # Naive reference loop (recompute full prefix each step, like the
+    # reference generate()).
+    ids = np.full((2, 1), config.decoder_start_token_id, dtype=np.int32)
+    for _ in range(max_len):
+        out = model.apply(
+            {"params": params}, features, decoder_input_ids=jnp.asarray(ids),
+            deterministic=True,
+        )
+        nxt = np.argmax(np.asarray(out["logits"][:, -1, :]), axis=-1)
+        ids = np.concatenate([ids, nxt[:, None].astype(np.int32)], axis=1)
+        if np.all(nxt == config.eos_token_id):
+            break
+    np.testing.assert_array_equal(tokens[:, : ids.shape[1]], ids)
+
+
+def test_size_presets():
+    _, cfg_tiny = create_whisper_model("tiny")
+    assert (cfg_tiny.d_model, cfg_tiny.encoder_layers) == (384, 4)
+    _, cfg_base = create_whisper_model("base")
+    assert (cfg_base.d_model, cfg_base.encoder_layers, cfg_base.d_ff) == (
+        512, 6, 2048,
+    )
+    _, cfg_small = create_whisper_model("small")
+    # Reference quirk: "small" is 768-d but only 4+4 layers.
+    assert (cfg_small.d_model, cfg_small.encoder_layers) == (768, 4)
+    _, cfg_large = create_whisper_model("large")
+    assert (cfg_large.d_model, cfg_large.encoder_layers) == (1280, 32)

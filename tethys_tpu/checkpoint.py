@@ -1,0 +1,62 @@
+"""Checkpointing (Orbax) with the reference's cadence and layout.
+
+Reference behavior (SURVEY §5.4): `tf.train.Checkpoint(model, optimizer)`
+saved per epoch (whisper_dist.py:916-919,956) and additionally every 50 steps
+in wav2vec2 jobs (wav2vec2_dist.py:1341-1342); final weights-only save into
+`<workspace>/model_cache/<name>` (whisper_dist.py:1024-1026).  The reference
+never restores; `restore` here is a flagged extension (it makes the jobs
+resumable under preemption, which TPU pods actually need).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from tethys_tpu.utils.artifacts import workspace_dir
+
+
+class CheckpointManager:
+    """Tagged synchronous checkpoints of (params, opt_state) pytrees."""
+
+    def __init__(self, directory: Optional[str] = None):
+        self.directory = directory or os.path.join(workspace_dir(), "checkpoints")
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.abspath(os.path.join(self.directory, tag))
+
+    def save(self, tag: str, state: Any) -> str:
+        path = self._path(tag)
+        self._ckptr.save(path, jax.device_get(state), force=True)
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore(self, tag: str, template: Any) -> Any:
+        return self._ckptr.restore(self._path(tag), target=template)
+
+    def latest_tag(self) -> Optional[str]:
+        tags = [
+            d for d in os.listdir(self.directory)
+            if os.path.isdir(os.path.join(self.directory, d))
+        ]
+        if not tags:
+            return None
+        return max(tags, key=lambda t: os.path.getmtime(
+            os.path.join(self.directory, t)))
+
+
+def save_final_weights(params: Any, name: str,
+                       cache_dir: Optional[str] = None) -> str:
+    """Final weights-only save into `<workspace>/model_cache/<name>`."""
+    cache_dir = cache_dir or os.path.join(workspace_dir(), "model_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(cache_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(params), force=True)
+    ckptr.wait_until_finished()
+    return path

@@ -1,0 +1,444 @@
+"""Whisper encoder-decoder ASR model as pure flax.linen modules.
+
+Capability-parity rebuild of the reference Keras implementation
+(reference speech_jobs/whisper_dist.py:10-733) designed TPU-first:
+
+* static shapes everywhere (XLA traces once; the causal bias and sinusoidal
+  tables fold into compile-time constants),
+* softmax and loss in float32, matmuls in `config.compute_dtype` (bfloat16 on
+  the MXU for throughput runs),
+* greedy generation is a `lax.while_loop` with a real KV-cache — the
+  reference computes a cache but re-feeds the full prefix every step
+  (reference speech_jobs/whisper_dist.py:636-709, see SURVEY §3.4); we keep
+  its *observable* semantics (same tokens, same early-stop rule) while doing
+  O(T) work per step.
+
+Architecture parity notes (vs reference lines):
+* q is pre-scaled by head_dim^-0.5 (whisper_dist.py:87,141).
+* All attention projections carry biases, including k_proj (whisper_dist.py:88
+  — upstream Whisper omits the k bias; the reference does not).
+* Pre-LN residual blocks; encoder final LayerNorm (whisper_dist.py:210-236).
+* conv1 k=3 s=1 SAME, conv2 k=3 s=2 SAME, exact-erf GELU (whisper_dist.py:305-372).
+* Decoder inputs = labels right-shifted with decoder_start_token_id
+  (whisper_dist.py:557-563); loss = shifted sparse CE, padding-masked mean
+  when a decoder mask is given (whisper_dist.py:583-600).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tethys_tpu.configs import WhisperConfig
+from tethys_tpu.losses import seq2seq_shifted_ce
+from tethys_tpu.ops.activations import gelu
+from tethys_tpu.ops.attention import multi_head_attention
+from tethys_tpu.ops.masks import NEG_INF, causal_additive_mask
+from tethys_tpu.ops.posenc import sinusoidal_table
+
+DenseInit = nn.initializers.glorot_uniform()
+EmbedInit = lambda key, shape, dtype=jnp.float32: jax.random.uniform(  # noqa: E731
+    key, shape, dtype, -0.05, 0.05
+)
+
+# KV cache pytree: {"k": [B,H,max,D], "v": [B,H,max,D]} per self-attn layer.
+Cache = Dict[str, jax.Array]
+
+
+class WhisperAttention(nn.Module):
+    """Unified self / cross / cached attention."""
+
+    config: WhisperConfig
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,                 # [B, Tq, E] query source
+        key_value_states: Optional[jax.Array] = None,  # [B, Tk, E] for cross-attn
+        bias: Optional[jax.Array] = None,         # additive attention bias
+        cache: Optional[Cache] = None,            # self-attn KV cache buffers
+        cache_index: Optional[jax.Array] = None,  # scalar write position
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[Cache]]:
+        cfg = self.config
+        d_model = cfg.d_model
+        head_dim = d_model // self.num_heads
+        dtype = cfg.dtype
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            d_model, use_bias=True, dtype=dtype, kernel_init=DenseInit, name=name
+        )
+        q_proj, k_proj, v_proj, out_proj = (
+            dense("q_proj"), dense("k_proj"), dense("v_proj"), dense("out_proj")
+        )
+
+        def split_heads(x):
+            b, t, _ = x.shape
+            return x.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        scaling = head_dim ** -0.5
+        query = split_heads(q_proj(hidden_states) * scaling)
+
+        kv_source = key_value_states if key_value_states is not None else hidden_states
+        key = split_heads(k_proj(kv_source))
+        value = split_heads(v_proj(kv_source))
+
+        new_cache = None
+        if cache is not None:
+            # Incremental decode: write current K/V at cache_index, attend to
+            # the full buffer with positions > index masked out.
+            k_buf = jax.lax.dynamic_update_slice(
+                cache["k"], key.astype(cache["k"].dtype), (0, 0, cache_index, 0)
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                cache["v"], value.astype(cache["v"].dtype), (0, 0, cache_index, 0)
+            )
+            new_cache = {"k": k_buf, "v": v_buf}
+            max_len = k_buf.shape[2]
+            positions = jnp.arange(max_len)
+            valid = positions <= cache_index  # current token included
+            pos_bias = jnp.where(valid, 0.0, NEG_INF)[None, None, None, :]
+            bias = pos_bias if bias is None else bias + pos_bias
+            key, value = k_buf, v_buf
+
+        dropout_rng = None
+        if not deterministic and cfg.attention_dropout > 0.0:
+            dropout_rng = self.make_rng("dropout")
+
+        attn = multi_head_attention(
+            query, key, value,
+            bias=bias,
+            dropout_rate=cfg.attention_dropout,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+            use_flash=cfg.use_flash_attention,
+        )
+        b, _, tq, _ = attn.shape
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, tq, d_model)
+        return out_proj(attn), new_cache
+
+
+class WhisperFeedForward(nn.Module):
+    config: WhisperConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        x = nn.Dense(cfg.d_ff, dtype=cfg.dtype, kernel_init=DenseInit, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
+        x = nn.Dense(cfg.d_model, dtype=cfg.dtype, kernel_init=DenseInit, name="fc2")(x)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class WhisperEncoderLayer(nn.Module):
+    config: WhisperConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias=None, deterministic: bool = True):
+        cfg = self.config
+        residual = x
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="self_attn_layer_norm")(x)
+        attn_out, _ = WhisperAttention(
+            cfg, cfg.encoder_attention_heads, name="self_attn"
+        )(x, bias=bias, deterministic=deterministic)
+        x = residual + attn_out
+
+        residual = x
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="final_layer_norm")(x)
+        x = residual + WhisperFeedForward(cfg, name="feed_forward")(
+            x, deterministic=deterministic
+        )
+        return x
+
+
+class WhisperDecoderLayer(nn.Module):
+    config: WhisperConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        encoder_hidden_states: jax.Array,
+        self_attn_bias=None,
+        cross_attn_bias=None,
+        cache: Optional[Cache] = None,
+        cache_index=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        residual = x
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="self_attn_layer_norm")(x)
+        attn_out, new_cache = WhisperAttention(
+            cfg, cfg.decoder_attention_heads, name="self_attn"
+        )(x, bias=self_attn_bias, cache=cache, cache_index=cache_index,
+          deterministic=deterministic)
+        x = residual + attn_out
+
+        residual = x
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="encoder_attn_layer_norm")(x)
+        cross_out, _ = WhisperAttention(
+            cfg, cfg.decoder_attention_heads, name="encoder_attn"
+        )(x, key_value_states=encoder_hidden_states, bias=cross_attn_bias,
+          deterministic=deterministic)
+        x = residual + cross_out
+
+        residual = x
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="final_layer_norm")(x)
+        x = residual + WhisperFeedForward(cfg, name="feed_forward")(
+            x, deterministic=deterministic
+        )
+        return x, new_cache
+
+
+class WhisperEncoder(nn.Module):
+    config: WhisperConfig
+
+    @nn.compact
+    def __call__(self, input_features: jax.Array, deterministic: bool = True):
+        """input_features: [B, n_mels, T] log-mel frames (reference layout)."""
+        cfg = self.config
+        x = input_features.transpose(0, 2, 1).astype(cfg.dtype)  # [B, T, n_mels]
+        x = nn.Conv(cfg.d_model, kernel_size=(3,), strides=(1,), padding="SAME",
+                    dtype=cfg.dtype, kernel_init=DenseInit, name="conv1")(x)
+        x = gelu(x)
+        x = nn.Conv(cfg.d_model, kernel_size=(3,), strides=(2,), padding="SAME",
+                    dtype=cfg.dtype, kernel_init=DenseInit, name="conv2")(x)
+        x = gelu(x)
+
+        pe = jnp.asarray(sinusoidal_table(cfg.n_ctx, cfg.d_model))
+        x = x + pe[None, : x.shape[1], :].astype(cfg.dtype)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        for i in range(cfg.encoder_layers):
+            x = WhisperEncoderLayer(cfg, name=f"layers_{i}")(
+                x, deterministic=deterministic
+            )
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="layer_norm")(x)
+        return x
+
+
+class WhisperDecoder(nn.Module):
+    config: WhisperConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,               # [B, T]
+        encoder_hidden_states: jax.Array,   # [B, Tenc, E]
+        caches: Optional[Tuple[Cache, ...]] = None,
+        cache_index=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype,
+                         embedding_init=EmbedInit, name="embed_tokens")
+        x = embed(input_ids)
+
+        pe = jnp.asarray(sinusoidal_table(cfg.max_target_positions, cfg.d_model))
+        if cache_index is None:
+            x = x + pe[None, : x.shape[1], :].astype(cfg.dtype)
+            self_bias = causal_additive_mask(x.shape[1], dtype=jnp.float32)
+        else:
+            pos = jax.lax.dynamic_slice_in_dim(pe, cache_index, x.shape[1], axis=0)
+            x = x + pos[None].astype(cfg.dtype)
+            self_bias = None  # the cache path masks future positions itself
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        new_caches = []
+        for i in range(cfg.decoder_layers):
+            layer_cache = caches[i] if caches is not None else None
+            x, new_cache = WhisperDecoderLayer(cfg, name=f"layers_{i}")(
+                x,
+                encoder_hidden_states,
+                self_attn_bias=self_bias,
+                cache=layer_cache,
+                cache_index=cache_index,
+                deterministic=deterministic,
+            )
+            new_caches.append(new_cache)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="layer_norm")(x)
+        if caches is not None:
+            return x, tuple(new_caches)
+        return x
+
+
+class WhisperModel(nn.Module):
+    config: WhisperConfig
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.config)
+        self.decoder = WhisperDecoder(self.config)
+
+    def __call__(
+        self,
+        input_features: Optional[jax.Array],
+        decoder_input_ids: Optional[jax.Array] = None,
+        encoder_outputs: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        if encoder_outputs is None:
+            encoder_outputs = self.encoder(
+                input_features, deterministic=deterministic
+            )
+        if decoder_input_ids is None:
+            batch = encoder_outputs.shape[0]
+            decoder_input_ids = jnp.full(
+                (batch, 1), self.config.decoder_start_token_id, dtype=jnp.int32
+            )
+        hidden = self.decoder(
+            decoder_input_ids, encoder_outputs, deterministic=deterministic
+        )
+        return {
+            "last_hidden_state": hidden,
+            "encoder_last_hidden_state": encoder_outputs,
+        }
+
+
+class WhisperForConditionalGeneration(nn.Module):
+    config: WhisperConfig
+
+    def setup(self):
+        self.model = WhisperModel(self.config)
+        self.lm_head = nn.Dense(
+            self.config.vocab_size, use_bias=False, dtype=self.config.dtype,
+            kernel_init=DenseInit,
+        )
+
+    def __call__(
+        self,
+        input_features: Optional[jax.Array],
+        decoder_input_ids: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
+        decoder_attention_mask: Optional[jax.Array] = None,
+        encoder_outputs: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        if decoder_input_ids is None and labels is not None:
+            # Teacher forcing: right-shift labels, prepend start token.
+            decoder_input_ids = jnp.concatenate(
+                [
+                    jnp.full((labels.shape[0], 1), cfg.decoder_start_token_id,
+                             dtype=labels.dtype),
+                    labels[:, :-1],
+                ],
+                axis=1,
+            )
+        outputs = self.model(
+            input_features,
+            decoder_input_ids=decoder_input_ids,
+            encoder_outputs=encoder_outputs,
+            deterministic=deterministic,
+        )
+        lm_logits = self.lm_head(outputs["last_hidden_state"])
+
+        loss = None
+        if labels is not None:
+            loss = seq2seq_shifted_ce(
+                lm_logits, labels, decoder_attention_mask=decoder_attention_mask
+            )
+        return {
+            "loss": loss,
+            "logits": lm_logits,
+            "encoder_last_hidden_state": outputs["encoder_last_hidden_state"],
+        }
+
+    # --- generation helpers (used by greedy_generate below) ---
+
+    def encode(self, input_features: jax.Array) -> jax.Array:
+        return self.model.encoder(input_features, deterministic=True)
+
+    def decode_step(
+        self,
+        token: jax.Array,                 # [B, 1]
+        encoder_hidden_states: jax.Array,
+        caches: Tuple[Cache, ...],
+        cache_index: jax.Array,
+    ):
+        hidden, new_caches = self.model.decoder(
+            token, encoder_hidden_states,
+            caches=caches, cache_index=cache_index, deterministic=True,
+        )
+        logits = self.lm_head(hidden)
+        return logits, new_caches
+
+
+def create_whisper_model(model_type: str = "small", **overrides):
+    """Factory matching reference create_whisper_model
+    (speech_jobs/whisper_dist.py:852-890)."""
+    config = WhisperConfig.from_size(model_type, **overrides)
+    return WhisperForConditionalGeneration(config), config
+
+
+def init_kv_caches(config: WhisperConfig, batch: int, max_length: int):
+    head_dim = config.d_model // config.decoder_attention_heads
+    shape = (batch, config.decoder_attention_heads, max_length, head_dim)
+    zeros = jnp.zeros(shape, dtype=config.dtype)
+    return tuple(
+        {"k": zeros, "v": zeros} for _ in range(config.decoder_layers)
+    )
+
+
+def greedy_generate(
+    model: WhisperForConditionalGeneration,
+    variables,
+    input_features: jax.Array,
+    max_length: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+) -> jax.Array:
+    """Greedy decoding with KV cache, jit-compatible.
+
+    Observable semantics match the reference generate()
+    (speech_jobs/whisper_dist.py:636-709): start from decoder_start_token_id,
+    pick argmax each step (the reference's temperature/top-k transforms never
+    change an argmax, so greedy is exact), stop early only when *all* current
+    tokens are EOS at the same step, and keep extending finished sequences
+    otherwise.  Unlike the reference, the KV cache is actually reused.
+    """
+    cfg = model.config
+    max_length = max_length or cfg.max_target_positions
+    del temperature, top_k  # argmax-invariant; kept for API parity
+    batch = input_features.shape[0]
+
+    encoder_hidden = model.apply(variables, input_features, method=model.encode)
+    caches = init_kv_caches(cfg, batch, max_length)
+
+    tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, dtype=jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+
+    def cond(state):
+        i, _, _, all_eos = state
+        return jnp.logical_and(i < max_length, jnp.logical_not(all_eos))
+
+    def body(state):
+        i, tokens, caches, _ = state
+        current = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
+        logits, caches = model.apply(
+            variables, current, encoder_hidden, caches, i,
+            method=model.decode_step,
+        )
+        next_tokens = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, next_tokens[:, None], i + 1, axis=1
+        )
+        all_eos = jnp.all(next_tokens == cfg.eos_token_id)
+        return i + 1, tokens, caches, all_eos
+
+    length, tokens, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, caches, jnp.bool_(False))
+    )
+    return tokens, length + 1

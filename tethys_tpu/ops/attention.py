@@ -1,0 +1,73 @@
+"""Scaled-dot-product attention core shared by Whisper and Wav2Vec2.
+
+TPU-first design notes:
+* queries are pre-scaled by head_dim^-0.5 (reference
+  speech_jobs/whisper_dist.py:87,141 scales q, wav2vec2_dist.py:350 scales the
+  scores — both are mathematically identical; we scale q once),
+* the softmax runs in float32 regardless of compute dtype (bf16 logits lose
+  too much precision at seq_len 1500),
+* for long sequences on TPU the Pallas flash-attention kernel
+  (`tethys_tpu.ops.pallas_attention`) streams KV blocks through VMEM instead
+  of materializing the [B, H, T, T] score matrix in HBM; the XLA einsum path
+  remains as the fallback (and is what runs on CPU test meshes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Flash kernel only pays off when the score matrix is big enough to be
+# HBM-bound; below this length XLA's fused einsum path wins.
+_FLASH_MIN_SEQ = 512
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing should not fail
+        return False
+
+
+def multi_head_attention(
+    query: jax.Array,          # [B, H, Tq, D] (already scaled by D^-0.5)
+    key: jax.Array,            # [B, H, Tk, D]
+    value: jax.Array,          # [B, H, Tk, D]
+    bias: Optional[jax.Array] = None,  # additive, broadcastable to [B, H, Tq, Tk]
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+) -> jax.Array:
+    """Returns [B, H, Tq, D] attention output."""
+    if (
+        use_flash
+        and _on_tpu()
+        and query.shape[2] >= _FLASH_MIN_SEQ
+        and (deterministic or dropout_rate == 0.0)
+    ):
+        from tethys_tpu.ops import pallas_attention
+
+        if pallas_attention.supported(query, key, value, bias):
+            return pallas_attention.flash_attention(query, key, value, bias)
+    return _xla_attention(
+        query, key, value, bias, dropout_rate, dropout_rng, deterministic
+    )
+
+
+def _xla_attention(query, key, value, bias, dropout_rate, dropout_rng,
+                   deterministic):
+    out_dtype = query.dtype
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", query, key, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(out_dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, value)

@@ -1,0 +1,140 @@
+"""Synchronous data-parallel train steps: jit + shard_map + psum over ICI.
+
+This is the TPU-native equivalent of the reference's
+MultiWorkerMirroredStrategy ring all-reduce path, reproducing its *exact*
+aggregation semantics (SURVEY §2.6):
+
+* plain step (Whisper, reference speech_jobs/whisper_dist.py:819-848):
+  per-replica grads of the local mean loss are SUM-reduced across replicas
+  (what Keras `optimizer.apply_gradients` does under MWMS), and the logged
+  loss is the SUM of per-replica losses (`strategy.reduce(SUM)`).
+* hardened step (Wav2Vec2, reference speech_jobs/wav2vec2_dist.py:1186-1260):
+  NaN loss scrubbed to 0, loss scaled by 1/num_replicas, per-replica
+  global-norm clip to 1.0 *before* the all-reduce, then the optimizer chain
+  applies Keras-style per-variable clipnorm(1.0) + Adam(eps=1e-8) — the
+  reference's double clipping, kept deliberately.
+
+Replicated params + sharded batch means XLA lowers the `psum` onto ICI within
+a slice (DCN across slices) with no NCCL/gRPC tuning surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+LossFn = Callable[[Any, Tuple[jax.Array, ...], jax.Array],
+                  Tuple[jax.Array, Any]]
+
+
+def per_variable_clipnorm(max_norm: float) -> optax.GradientTransformation:
+    """Keras `Adam(clipnorm=...)` semantics: clip each gradient tensor by its
+    own L2 norm (not the global norm)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return (g.astype(jnp.float32) * scale).astype(g.dtype)
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def whisper_optimizer(learning_rate: float = 1e-4) -> optax.GradientTransformation:
+    """Adam with Keras defaults (eps=1e-7) — reference whisper_dist.py:894-901."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+
+
+def wav2vec2_optimizer(learning_rate: float = 3e-5) -> optax.GradientTransformation:
+    """clipnorm(1.0-per-variable) + Adam(eps=1e-8) — reference
+    wav2vec2_dist.py:1271-1275."""
+    return optax.chain(
+        per_variable_clipnorm(1.0),
+        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def make_train_step(
+    loss_fn: LossFn,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    hardened: bool = False,
+    axis: str = "data",
+):
+    """Build a jitted DP train step.
+
+    loss_fn(params, batch, rng) -> (scalar loss, aux) computed on the
+    per-replica batch shard.  Returns step(state, batch, rng) -> (state, loss)
+    where `loss` follows the reference's logging aggregation (see module doc).
+    """
+    n_replicas = mesh.shape[axis]
+
+    def replica_step(state: TrainState, batch, rng):
+        # Distinct dropout / sampling streams per replica.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        if hardened:
+            def scaled_loss_fn(params):
+                loss, aux = loss_fn(params, batch, rng)
+                loss = jnp.where(jnp.isnan(loss), 0.0, loss)
+                return loss / n_replicas, aux
+
+            (local_loss, _aux), grads = jax.value_and_grad(
+                scaled_loss_fn, has_aux=True
+            )(state.params)
+            # Per-replica global-norm clip BEFORE aggregation (reference quirk).
+            grads, _ = optax.clip_by_global_norm(1.0).update(grads, optax.EmptyState())
+        else:
+            (local_loss, _aux), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch, rng), has_aux=True
+            )(state.params)
+
+        grads = jax.lax.psum(grads, axis)  # MWMS aggregates with SUM
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        loss_out = jax.lax.psum(local_loss, axis)  # strategy.reduce(SUM)
+        return TrainState(new_params, new_opt_state), loss_out
+
+    sharded = shard_map(
+        replica_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place params/opt_state replicated on every mesh device."""
+    sharding = jax.sharding.NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a global numpy batch sharded along its leading axis."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)

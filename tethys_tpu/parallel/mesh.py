@@ -1,0 +1,104 @@
+"""Device mesh + multi-process runtime plumbing.
+
+TPU-native replacement for the reference's tf.distribute
+MultiWorkerMirroredStrategy + TF_CONFIG stack (reference
+speech_jobs/whisper_dist.py:1037-1047, wav2vec2_dist.py:1462-1475):
+
+* `initialize_distributed()` wires `jax.distributed.initialize` from either
+  JAX-native env vars or a Kubeflow-style TF_CONFIG (so the reference's TFJob
+  manifests keep working), with the reference's 120 s timeout spirit.
+* `make_data_mesh()` builds a 1-D `jax.sharding.Mesh` over all addressable
+  devices; gradient all-reduce then rides ICI within a slice and DCN across
+  slices via XLA collectives — there is no NCCL/gRPC tuning surface.
+* `job_identity()` reproduces job_name.py's `<task_type>_<index>` naming
+  contract (reference job_name.py:1-15) from TF_CONFIG when present, else
+  from the JAX process index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def _parse_tf_config():
+    raw = os.environ.get("TF_CONFIG")
+    if not raw:
+        return None
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return None
+
+
+def job_identity() -> Tuple[str, int]:
+    """(task_type, task_index) for log/JCT file naming."""
+    tf_config = _parse_tf_config()
+    if tf_config:
+        task = tf_config.get("task", {})
+        task_type = task.get("type") or "worker"
+        task_index = int(task.get("index") or 0)
+        return task_type, task_index
+    try:
+        return "worker", jax.process_index()
+    except Exception:
+        return "worker", 0
+
+
+def job_name() -> str:
+    task_type, task_index = job_identity()
+    return f"{task_type}_{task_index}"
+
+
+def initialize_distributed(timeout_s: int = 120) -> None:
+    """Initialize the JAX multi-process runtime when a cluster spec exists.
+
+    Priority: JAX-native env (JAX_COORDINATOR_ADDRESS) > TF_CONFIG.  A single
+    process with neither runs standalone — same degradation the reference
+    relies on (README.md:43-45: dist scripts run locally without TF_CONFIG).
+    """
+    if jax.process_count() > 1:  # already initialized
+        return
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            initialization_timeout=timeout_s
+        )
+        return
+    tf_config = _parse_tf_config()
+    if not tf_config:
+        return
+    cluster = tf_config.get("cluster", {})
+    # Kubeflow TFJob ordering: chief first, then workers (reference
+    # sample_tfjobs/whisper-dist.yaml declares CHIEF + WORKER replicas).
+    hosts = list(cluster.get("chief", [])) + list(cluster.get("worker", []))
+    if len(hosts) <= 1:
+        return
+    task = tf_config.get("task", {})
+    task_type = task.get("type") or "worker"
+    task_index = int(task.get("index") or 0)
+    offset = 0 if task_type == "chief" else len(cluster.get("chief", []))
+    process_id = offset + task_index
+    jax.distributed.initialize(
+        coordinator_address=hosts[0],
+        num_processes=len(hosts),
+        process_id=process_id,
+        initialization_timeout=timeout_s,
+    )
+
+
+def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over (up to) all devices with a single 'data' axis."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def num_replicas(mesh: Mesh) -> int:
+    return mesh.shape["data"]

@@ -1,0 +1,205 @@
+"""Shared job assembly: model + optimizer + data + DP step + loop.
+
+The reference repeats this glue in six ~1-2 kLoC monoliths (SURVEY §0); here
+it lives once and the `jobs/*.py` entry points are thin argparse wrappers that
+keep the reference CLIs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tethys_tpu import data as data_lib
+from tethys_tpu.checkpoint import CheckpointManager, save_final_weights
+from tethys_tpu.models import whisper as whisper_lib
+from tethys_tpu.models import wav2vec2 as wav2vec2_lib
+from tethys_tpu.parallel import dp, mesh as mesh_lib
+from tethys_tpu.train.loop import run_training, TrainLoopResult
+
+
+def _init_whisper(model, config, rng):
+    features = jnp.zeros((1, config.n_mels, 16), dtype=jnp.float32)
+    decoder_ids = jnp.zeros((1, 4), dtype=jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        features, decoder_input_ids=decoder_ids, deterministic=True,
+    )
+    return variables["params"]
+
+
+def _init_wav2vec2(model, config, rng, model_kind: str):
+    audio = jnp.zeros((1, 2000), dtype=jnp.float32)
+    kwargs = {"training": True}
+    if model_kind in ("asr", "classification"):
+        labels = (
+            jnp.zeros((1, 4), dtype=jnp.int32)
+            if model_kind == "asr"
+            else jnp.zeros((1,), dtype=jnp.int32)
+        )
+        kwargs["labels"] = labels
+    variables = model.init({"params": rng, "dropout": rng}, audio, **kwargs)
+    return variables["params"]
+
+
+def train_whisper(
+    model_type: str = "small",
+    batch_size_per_replica: int = 1,
+    num_batches: int = 40,
+    num_epochs: int = 1,
+    learning_rate: float = 1e-4,
+    mesh=None,
+    compute_dtype: str = "float32",
+    seed: int = 42,
+    checkpointing: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    data_seq_len: int = 3000,
+    step_hooks: tuple = (),
+    loss_fn_wrapper: Optional[Callable] = None,
+    config_overrides: Optional[dict] = None,
+):
+    """End-to-end Whisper training job (reference train_whisper,
+    speech_jobs/whisper_dist.py:894-958)."""
+    mesh = mesh or mesh_lib.make_data_mesh()
+    n_replicas = mesh_lib.num_replicas(mesh)
+    global_batch = batch_size_per_replica * n_replicas
+
+    model, config = whisper_lib.create_whisper_model(
+        model_type, compute_dtype=compute_dtype, **(config_overrides or {})
+    )
+    rng = jax.random.PRNGKey(seed)
+    params = _init_whisper(model, config, rng)
+    optimizer = dp.whisper_optimizer(learning_rate)
+    state = dp.TrainState(params, optimizer.init(params))
+    state = dp.replicate_state(state, mesh)
+
+    def loss_fn(params, batch, step_rng):
+        features, labels = batch
+        outputs = model.apply(
+            {"params": params}, features, labels=labels,
+            deterministic=False, rngs={"dropout": step_rng},
+        )
+        return outputs["loss"], {}
+
+    if loss_fn_wrapper is not None:
+        loss_fn = loss_fn_wrapper(loss_fn)
+
+    step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
+    dataset = data_lib.create_whisper_dummy_dataset(
+        global_batch, n_mels=config.n_mels, seq_len=data_seq_len
+    )
+    ckpt = CheckpointManager(checkpoint_dir) if checkpointing else None
+
+    result = run_training(
+        step_fn, dataset, state, rng,
+        num_epochs=num_epochs, max_iterations=num_batches,
+        prepare_batch=functools.partial(dp.shard_batch, mesh=mesh),
+        checkpoint_manager=ckpt,
+        checkpoint_tag=f"whisper_{model_type}",
+        step_hooks=step_hooks,
+    )
+    return result, model, config
+
+
+def train_wav2vec2(
+    model_type: str = "pretraining",
+    model_size: str = "small",
+    batch_size_per_replica: int = 1,
+    num_batches: int = 5,
+    num_epochs: int = 1,
+    learning_rate: float = 3e-5,
+    mesh=None,
+    compute_dtype: str = "float32",
+    seed: int = 42,
+    checkpointing: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    audio_length: int = 32000,
+    real_ctc: bool = False,
+    step_hooks: tuple = (),
+    loss_fn_wrapper: Optional[Callable] = None,
+    config_overrides: Optional[dict] = None,
+):
+    """End-to-end Wav2Vec2 training job (reference train_wav2vec2,
+    speech_jobs/wav2vec2_dist.py:1263-1376)."""
+    mesh = mesh or mesh_lib.make_data_mesh()
+    n_replicas = mesh_lib.num_replicas(mesh)
+    global_batch = batch_size_per_replica * n_replicas
+
+    model, config = wav2vec2_lib.create_full_model(
+        model_type, model_size, real_ctc=real_ctc, compute_dtype=compute_dtype,
+        **(config_overrides or {})
+    )
+    rng = jax.random.PRNGKey(seed)
+    params = _init_wav2vec2(model, config, rng, model_type)
+    optimizer = dp.wav2vec2_optimizer(learning_rate)
+    state = dp.TrainState(params, optimizer.init(params))
+    state = dp.replicate_state(state, mesh)
+
+    def loss_fn(params, batch, step_rng):
+        features, labels = batch
+        rng_dropout, rng_negatives = jax.random.split(step_rng)
+        if model_type == "pretraining":
+            outputs = model.apply(
+                {"params": params}, features, training=True,
+                rngs={"dropout": rng_dropout},
+            )
+            loss, aux = wav2vec2_lib.pretraining_loss(
+                config, outputs, rng_negatives
+            )
+            return loss, aux
+        if model_type == "asr":
+            outputs = model.apply(
+                {"params": params}, features,
+                labels=labels.astype(jnp.int32), training=True,
+                rngs={"dropout": rng_dropout},
+            )
+        elif model_type == "classification":
+            outputs = model.apply(
+                {"params": params}, features,
+                labels=labels.astype(jnp.int32), training=True,
+                rngs={"dropout": rng_dropout},
+            )
+        else:
+            raise ValueError(f"unsupported model_type {model_type}")
+        return outputs["loss"], {}
+
+    if loss_fn_wrapper is not None:
+        loss_fn = loss_fn_wrapper(loss_fn)
+
+    step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=True)
+    dataset = data_lib.create_wav2vec2_dummy_dataset(
+        global_batch, audio_length=audio_length
+    )
+    ckpt = CheckpointManager(checkpoint_dir) if checkpointing else None
+
+    result = run_training(
+        step_fn, dataset, state, rng,
+        num_epochs=num_epochs, max_iterations=num_batches,
+        prepare_batch=functools.partial(dp.shard_batch, mesh=mesh),
+        checkpoint_manager=ckpt,
+        checkpoint_every_steps=50 if checkpointing else None,
+        checkpoint_tag="model",
+        resilient=True,
+        step_hooks=step_hooks,
+    )
+    return result, model, config
+
+
+def finalize_job(result: TrainLoopResult, name: str, jct_seconds: float,
+                 single: bool = False) -> None:
+    """Common epilogue: JCT print + file + final weights save
+    (reference speech_jobs/whisper_dist.py:1001-1026)."""
+    from tethys_tpu.parallel.mesh import job_identity
+    from tethys_tpu.utils.artifacts import write_jct
+
+    print("Training completed.")
+    print("jct:", jct_seconds)
+    task_type, task_index = job_identity()
+    write_jct(jct_seconds, task_type, task_index, single=single)
+    try:
+        save_final_weights(result.state.params, name)
+    except Exception as e:  # noqa: BLE001 — missing volume must not kill job
+        print(f"final weight save failed: {e}")
