@@ -109,3 +109,54 @@ def test_jct_contract(tmp_path, monkeypatch):
 def test_jct_missing_volume_is_swallowed(monkeypatch):
     monkeypatch.setenv("TETHYS_WORKSPACE", "/nonexistent-ws")
     assert write_jct(1.0, "worker", 0) is None
+
+
+def test_whisper_profiled_job(tmp_path):
+    from tethys_tpu.profiling import TensorProfiler
+
+    mesh = make_data_mesh(2)
+    prof = TensorProfiler(log_dir=str(tmp_path / "tl"),
+                          model_name="whisper_small", flavor="whisper")
+    result, _, _ = jobs.train_whisper(
+        model_type="small",
+        batch_size_per_replica=1,
+        num_batches=2,
+        mesh=mesh,
+        checkpointing=False,
+        data_seq_len=128,
+        config_overrides=TINY_WHISPER,
+        profiler=prof,
+    )
+    summary = prof.save_final_results()
+    prof.close()
+    assert summary["total_steps"] == 2
+    assert summary["tiresias_tensorsize_mb"] > 0
+    # census covers all four categories
+    types = {d["tensor_type"] for d in prof.tensor_details}
+    assert {"input", "activation", "output", "gradient", "parameter"} <= types
+    assert (tmp_path / "tl" / "tiresias_tensorsize.txt").exists()
+
+
+def test_wav2vec2_profiled_job_value_skews(tmp_path):
+    from tethys_tpu.profiling import TensorProfiler
+
+    mesh = make_data_mesh(2)
+    prof = TensorProfiler(log_dir=str(tmp_path / "tl"),
+                          model_name="wav2vec2_small", flavor="wav2vec2")
+    result, _, _ = jobs.train_wav2vec2(
+        model_type="pretraining",
+        batch_size_per_replica=1,
+        num_batches=2,
+        mesh=mesh,
+        checkpointing=False,
+        audio_length=1600,
+        config_overrides=TINY_W2V2,
+        profiler=prof,
+    )
+    summary = prof.save_final_results()
+    prof.close()
+    skews = summary["skewness_analysis"].get("value_skewness", {})
+    assert any(k.startswith("gradient/") for k in skews)
+    assert "input/input_values" in skews
+    assert any(k.startswith("output/") for k in skews)
+    assert all(np.isfinite(v) for v in skews.values())

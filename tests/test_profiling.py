@@ -1,0 +1,179 @@
+"""TensorProfiler + HLO collective accounting tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tethys_tpu.profiling import (
+    TensorProfiler,
+    collective_traffic_report,
+    intermediate_inventory,
+    tensor_inventory_from_tree,
+)
+from tethys_tpu.profiling.tensorsize import (
+    fisher_pearson_skew,
+    value_skewness,
+)
+
+
+def test_fisher_pearson_matches_scipy():
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rng = np.random.default_rng(0)
+    data = rng.exponential(size=100)
+    np.testing.assert_allclose(
+        fisher_pearson_skew(list(data)), scipy_stats.skew(data), rtol=1e-10
+    )
+    assert fisher_pearson_skew([1.0, 2.0]) == 0.0  # <3 points
+
+
+def test_value_skewness_matches_scipy():
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rng = np.random.default_rng(1)
+    x = rng.exponential(size=(8, 16)).astype(np.float32)
+    got = float(value_skewness(jnp.asarray(x)))
+    want = float(scipy_stats.skew(x.reshape(-1)))
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_tensor_inventory():
+    tree = {"a": jnp.zeros((4, 8), jnp.float32),
+            "b": {"c": jnp.zeros((3,), jnp.int32)}}
+    inv = tensor_inventory_from_tree(tree, "param")
+    by_name = {name: (shape, dtype, nbytes) for name, shape, dtype, nbytes in inv}
+    assert by_name["param/a"] == ((4, 8), "float32", 128)
+    assert by_name["param/b/c"] == ((3,), "int32", 12)
+
+
+def test_intermediate_inventory_flax_module():
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(16, name="d1")(x)
+            return nn.Dense(4, name="d2")(x)
+
+    m = M()
+    x = jnp.zeros((2, 8))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    inv = intermediate_inventory(m, params, x)
+    names = [name for name, *_ in inv]
+    assert any("d1" in n for n in names)
+    assert any("d2" in n for n in names)
+    # d1 output is [2, 16] f32 = 128 bytes
+    d1 = next(i for i in inv if "d1" in i[0])
+    assert d1[1] == (2, 16) and d1[3] == 128
+
+
+def test_profiler_files_and_tiresias(tmp_path):
+    prof = TensorProfiler(log_dir=str(tmp_path / "logs"),
+                          model_name="test_model", flavor="wav2vec2")
+    inv = tensor_inventory_from_tree(
+        {"x": jnp.zeros((1024, 256), jnp.float32)}, "input")
+    for step in range(6):
+        prof.start_step(step)
+        prof.log_inventory(inv, "input")
+        prof.log_value_skews({"input/x": 0.5 + step * 0.1})
+        prof.log_memory_usage()
+        size_mb = prof.end_step()
+        np.testing.assert_allclose(size_mb, 1.0)  # 1 MB per step
+
+    assert prof.get_tiresias_tensorsize() == pytest.approx(1.0)
+    summary = prof.save_final_results()
+    prof.close()
+
+    logs = tmp_path / "logs"
+    for fname in ("tensor_sizes.txt", "memory_usage.txt", "summary.txt",
+                  "tiresias_tensorsize.txt", "final_summary.json",
+                  "tiresias_result.json", "legacy_skewness_result.txt",
+                  "skewness_analysis.txt", "skewness_analysis.json"):
+        assert (logs / fname).exists(), fname
+
+    with open(logs / "tiresias_result.json") as f:
+        tiresias = json.load(f)
+    assert tiresias["model"] == "test_model"
+    assert tiresias["tensorsize_mb"] == pytest.approx(1.0)
+    assert tiresias["measurement_method"] == "Tiresias_style"
+
+    header = (logs / "tensor_sizes.txt").read_text().splitlines()[0]
+    assert header == "step,operation,tensor_type,size_bytes,size_mb,shape,dtype"
+    tline = (logs / "tiresias_tensorsize.txt").read_text().splitlines()[1]
+    assert tline == "0,1.0000"
+    assert "value_skewness" in summary["skewness_analysis"]
+
+
+def test_tiresias_warmup_drop(tmp_path):
+    prof = TensorProfiler(log_dir=str(tmp_path / "l"), model_name="m")
+    # simulate per-step totals: 3 warm-up + steady (warmup = min(3, 12//4))
+    prof.step_tensor_sizes = [100.0, 100.0, 100.0] + [10.0] * 9
+    assert prof.get_tiresias_tensorsize() == pytest.approx(10.0)
+    prof.close()
+
+
+def test_result_copies(tmp_path):
+    ws = os.environ["TETHYS_WORKSPACE"]
+    res = os.environ["TETHYS_RESULT"]
+    with open(os.path.join(ws, "model.txt"), "w") as f:
+        f.write("profjob")
+    os.makedirs(os.path.join(res, "profjob"), exist_ok=True)
+
+    prof = TensorProfiler(log_dir=str(tmp_path / "logs"), model_name="wav2vec2_small")
+    prof.start_step(0)
+    prof.log_tensor_size("x", (256, 1024), "float32", "input")
+    prof.end_step()
+    prof.write_result_copies(42.0, "worker", 0)
+    base = os.path.join(res, "profjob")
+    for suffix in ("tensor_summary", "tiresias", "skewness", "combined"):
+        assert os.path.exists(os.path.join(base, f"worker_0_{suffix}.txt"))
+    combined = open(os.path.join(base, "worker_0_combined.txt")).read()
+    assert combined.startswith("model,tensorsize_mb,skewness\n")
+    assert "wav2vec2_small,1.0," in combined
+    prof.close()
+
+
+def test_collective_traffic_report_from_real_hlo():
+    """Compile a shard_map psum step and verify all-reduce accounting."""
+    from jax.sharding import PartitionSpec as P
+    from tethys_tpu.parallel.mesh import make_data_mesh
+
+    mesh = make_data_mesh(8)
+
+    def f(x):
+        return jax.lax.psum(x, "data")
+
+    sharded = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=P("data"), out_specs=P(), check_vma=False))
+    x = jnp.zeros((8, 128), jnp.float32)
+    hlo = sharded.lower(x).compile().as_text()
+    report = collective_traffic_report(hlo)
+    assert report["num_collectives"] >= 1
+    assert "all-reduce" in report["by_kind_bytes"]
+    # psum of a [1, 128] f32 shard -> at least 512 payload bytes
+    assert report["by_kind_bytes"]["all-reduce"] >= 128 * 4
+
+
+def test_train_step_collectives_accounting():
+    """The DP train step's HLO must contain grad all-reduce bytes >= param
+    bytes (each param all-reduced once)."""
+    from tethys_tpu.parallel import dp
+    from tethys_tpu.parallel.mesh import make_data_mesh
+
+    mesh = make_data_mesh(8)
+    params = {"w": jnp.zeros((64, 32), jnp.float32)}
+    opt = optax.sgd(0.1)
+    state = dp.TrainState(params, opt.init(params))
+
+    def loss_fn(p, batch, rng):
+        x, y = batch
+        return jnp.mean((x @ p["w"] - y) ** 2), {}
+
+    step = dp.make_train_step(loss_fn, opt, mesh)
+    batch = (jnp.zeros((8, 64)), jnp.zeros((8, 32)))
+    hlo = step.lower(state, batch, jax.random.PRNGKey(0)).compile().as_text()
+    report = collective_traffic_report(hlo)
+    assert report["total_bytes"] >= 64 * 32 * 4  # w grads + loss psum

@@ -79,12 +79,19 @@ def make_train_step(
     mesh: Mesh,
     hardened: bool = False,
     axis: str = "data",
+    return_aux: bool = False,
+    grad_aux_fn: Optional[Callable[[Any], Any]] = None,
 ):
     """Build a jitted DP train step.
 
     loss_fn(params, batch, rng) -> (scalar loss, aux) computed on the
     per-replica batch shard.  Returns step(state, batch, rng) -> (state, loss)
     where `loss` follows the reference's logging aggregation (see module doc).
+
+    With `return_aux=True` the step returns (state, loss, aux): the loss_fn
+    aux pmean'd over replicas, plus `grad_aux_fn(summed_grads)` under key
+    "grad_aux" if given (used by the tensorsize profiler for in-graph
+    per-gradient value statistics).
     """
     n_replicas = mesh.shape[axis]
 
@@ -98,13 +105,13 @@ def make_train_step(
                 loss = jnp.where(jnp.isnan(loss), 0.0, loss)
                 return loss / n_replicas, aux
 
-            (local_loss, _aux), grads = jax.value_and_grad(
+            (local_loss, aux), grads = jax.value_and_grad(
                 scaled_loss_fn, has_aux=True
             )(state.params)
             # Per-replica global-norm clip BEFORE aggregation (reference quirk).
             grads, _ = optax.clip_by_global_norm(1.0).update(grads, optax.EmptyState())
         else:
-            (local_loss, _aux), grads = jax.value_and_grad(
+            (local_loss, aux), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, batch, rng), has_aux=True
             )(state.params)
 
@@ -114,13 +121,21 @@ def make_train_step(
         )
         new_params = optax.apply_updates(state.params, updates)
         loss_out = jax.lax.psum(local_loss, axis)  # strategy.reduce(SUM)
-        return TrainState(new_params, new_opt_state), loss_out
+        new_state = TrainState(new_params, new_opt_state)
+        if not return_aux:
+            return new_state, loss_out
+        aux_out = jax.lax.pmean(aux, axis)
+        if grad_aux_fn is not None:
+            aux_out = dict(aux_out) if isinstance(aux_out, dict) else {"aux": aux_out}
+            aux_out["grad_aux"] = grad_aux_fn(grads)
+        return new_state, loss_out, aux_out
 
+    out_specs = (P(), P(), P()) if return_aux else (P(), P())
     sharded = shard_map(
         replica_step,
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -45,6 +45,54 @@ def _init_wav2vec2(model, config, rng, model_kind: str):
     return variables["params"]
 
 
+def _maybe_start_monitor_bridge(step_hooks: tuple):
+    """Start the chip-monitor metrics publisher unless TETHYS_MONITOR=0.
+
+    The bridge feeds the native tpu_monitor daemon (see
+    tethys_tpu/monitor/bridge.py); its note_step hook supplies the
+    duty-cycle utilization signal.
+    """
+    import os
+
+    if os.environ.get("TETHYS_MONITOR", "1") == "0":
+        return step_hooks, None
+    try:
+        from tethys_tpu.monitor.bridge import MonitorBridge
+
+        bridge = MonitorBridge().start()
+        return tuple(step_hooks) + (bridge.note_step,), bridge
+    except Exception as e:  # noqa: BLE001 — monitoring must never block training
+        print(f"monitor bridge unavailable: {e}")
+        return step_hooks, None
+
+
+def _profiler_hooks(profiler, static_inventories, flavor: str):
+    """Build the per-step hook that drives the TensorProfiler.
+
+    Byte accounting is static (shapes don't change under jit), so each step
+    logs the precomputed inventory; dynamic value-skew scalars arrive through
+    the step's aux output.
+    """
+
+    def hook(step, loss, duration, aux):
+        profiler.start_step(step)
+        for inventory, tensor_type in static_inventories:
+            profiler.log_inventory(inventory, tensor_type)
+        if aux:
+            skews = {}
+            for key, val in aux.items():
+                if key == "grad_aux" and isinstance(val, dict):
+                    skews.update({k: float(v) for k, v in val.items()})
+                elif key == "value_skews" and isinstance(val, dict):
+                    skews.update({k: float(v) for k, v in val.items()})
+            if skews:
+                profiler.log_value_skews(skews)
+        profiler.log_memory_usage()
+        profiler.end_step()
+
+    return hook
+
+
 def train_whisper(
     model_type: str = "small",
     batch_size_per_replica: int = 1,
@@ -60,9 +108,13 @@ def train_whisper(
     step_hooks: tuple = (),
     loss_fn_wrapper: Optional[Callable] = None,
     config_overrides: Optional[dict] = None,
+    profiler=None,
 ):
     """End-to-end Whisper training job (reference train_whisper,
-    speech_jobs/whisper_dist.py:894-958)."""
+    speech_jobs/whisper_dist.py:894-958).  With `profiler` set, adds the
+    tensorsize instrumentation of whisper_dist_tensorsize.py (per-layer
+    activation census via capture_intermediates, gradient/parameter sizes,
+    memory sampling)."""
     mesh = mesh or mesh_lib.make_data_mesh()
     n_replicas = mesh_lib.num_replicas(mesh)
     global_batch = batch_size_per_replica * n_replicas
@@ -87,11 +139,41 @@ def train_whisper(
     if loss_fn_wrapper is not None:
         loss_fn = loss_fn_wrapper(loss_fn)
 
+    if profiler is not None:
+        from tethys_tpu.profiling import (
+            intermediate_inventory, tensor_inventory_from_tree,
+        )
+
+        profiler.log_model_parameters(params)
+        feat_shape = (batch_size_per_replica, config.n_mels, data_seq_len)
+        lab_shape = (batch_size_per_replica, 100)
+        feats = jax.ShapeDtypeStruct(feat_shape, jnp.float32)
+        labs = jax.ShapeDtypeStruct(lab_shape, jnp.int32)
+        input_inv = tensor_inventory_from_tree(
+            {"input_features": feats, "labels": labs}, "input")
+        out_shapes = jax.eval_shape(
+            lambda p, f, l: model.apply({"params": p}, f, labels=l,
+                                        deterministic=True),
+            params, feats, labs,
+        )
+        output_inv = tensor_inventory_from_tree(out_shapes, "output")
+        act_inv = intermediate_inventory(
+            model, params, feats, labels=labs, deterministic=True)
+        grad_inv = tensor_inventory_from_tree(params, "gradient")
+        static_inventories = [
+            (input_inv, "input"), (act_inv, "activation"),
+            (output_inv, "output"), (grad_inv, "gradient"),
+        ]
+        step_hooks = tuple(step_hooks) + (
+            _profiler_hooks(profiler, static_inventories, "whisper"),
+        )
+
     step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
     dataset = data_lib.create_whisper_dummy_dataset(
         global_batch, n_mels=config.n_mels, seq_len=data_seq_len
     )
     ckpt = CheckpointManager(checkpoint_dir) if checkpointing else None
+    step_hooks, _bridge = _maybe_start_monitor_bridge(step_hooks)
 
     result = run_training(
         step_fn, dataset, state, rng,
@@ -101,6 +183,8 @@ def train_whisper(
         checkpoint_tag=f"whisper_{model_type}",
         step_hooks=step_hooks,
     )
+    if _bridge is not None:
+        _bridge.stop()
     return result, model, config
 
 
@@ -121,9 +205,13 @@ def train_wav2vec2(
     step_hooks: tuple = (),
     loss_fn_wrapper: Optional[Callable] = None,
     config_overrides: Optional[dict] = None,
+    profiler=None,
+    profile_values: bool = True,
 ):
     """End-to-end Wav2Vec2 training job (reference train_wav2vec2,
-    speech_jobs/wav2vec2_dist.py:1263-1376)."""
+    speech_jobs/wav2vec2_dist.py:1263-1376).  With `profiler` set, adds the
+    tensorsize + in-graph per-value skewness instrumentation of
+    wav2vec2_dist_tensorsize.py."""
     mesh = mesh or mesh_lib.make_data_mesh()
     n_replicas = mesh_lib.num_replicas(mesh)
     global_batch = batch_size_per_replica * n_replicas
@@ -169,11 +257,64 @@ def train_wav2vec2(
     if loss_fn_wrapper is not None:
         loss_fn = loss_fn_wrapper(loss_fn)
 
-    step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=True)
+    grad_aux_fn = None
+    return_aux = False
+    if profiler is not None:
+        from tethys_tpu.profiling import (
+            intermediate_inventory, tensor_inventory_from_tree,
+        )
+        from tethys_tpu.profiling.tensorsize import (
+            tree_value_skewness, value_skewness,
+        )
+
+        profiler.log_model_parameters(params)
+        audio_sds = jax.ShapeDtypeStruct(
+            (batch_size_per_replica, audio_length), jnp.float32)
+        input_inv = tensor_inventory_from_tree(
+            {"input_values": audio_sds}, "input")
+        # Shapes of the *training* forward (includes the quantizer branch).
+        out_shapes = jax.eval_shape(
+            lambda p, a: model.apply({"params": p}, a, training=True,
+                                     rngs={"dropout": rng}),
+            params, audio_sds,
+        )
+        output_inv = tensor_inventory_from_tree(out_shapes, "output")
+        act_inv = intermediate_inventory(
+            model, params, audio_sds, training=True, rngs={"dropout": rng})
+        grad_inv = tensor_inventory_from_tree(params, "gradient")
+        static_inventories = [
+            (input_inv, "input"), (act_inv, "activation"),
+            (output_inv, "output"), (grad_inv, "gradient"),
+        ]
+        step_hooks = tuple(step_hooks) + (
+            _profiler_hooks(profiler, static_inventories, "wav2vec2"),
+        )
+        return_aux = True
+
+        if profile_values:
+            base_loss_fn = loss_fn
+
+            def loss_fn(params, batch, step_rng):  # noqa: F811
+                loss, aux = base_loss_fn(params, batch, step_rng)
+                features = batch[0]
+                skews = {"input/input_values": value_skewness(features)}
+                for key, val in (aux or {}).items():
+                    if hasattr(val, "size") and val.size > 1:
+                        skews[f"output/{key}"] = value_skewness(val)
+                return loss, {"value_skews": skews}
+
+            grad_aux_fn = lambda grads: tree_value_skewness(  # noqa: E731
+                grads, "gradient")
+
+    step_fn = dp.make_train_step(
+        loss_fn, optimizer, mesh, hardened=True,
+        return_aux=return_aux, grad_aux_fn=grad_aux_fn,
+    )
     dataset = data_lib.create_wav2vec2_dummy_dataset(
         global_batch, audio_length=audio_length
     )
     ckpt = CheckpointManager(checkpoint_dir) if checkpointing else None
+    step_hooks, _bridge = _maybe_start_monitor_bridge(step_hooks)
 
     result = run_training(
         step_fn, dataset, state, rng,
@@ -185,6 +326,8 @@ def train_wav2vec2(
         resilient=True,
         step_hooks=step_hooks,
     )
+    if _bridge is not None:
+        _bridge.stop()
     return result, model, config
 
 

@@ -43,7 +43,7 @@ def run_training(
     checkpoint_tag: str = "model",
     epoch_checkpoint_tag: Optional[str] = None,
     resilient: bool = False,         # wav2vec2-style per-step exception reset
-    step_hooks: tuple = (),          # callables(step, loss, duration)
+    step_hooks: tuple = (),          # callables(step, loss, duration, aux)
 ) -> TrainLoopResult:
     losses, step_times = [], []
     step = 0
@@ -65,7 +65,11 @@ def run_training(
                 if prepare_batch is not None:
                     batch = prepare_batch(batch)
                 step_rng = jax.random.fold_in(rng, step)
-                state, loss = step_fn(state, batch, step_rng)
+                outputs = step_fn(state, batch, step_rng)
+                if len(outputs) == 3:
+                    state, loss, aux = outputs
+                else:
+                    (state, loss), aux = outputs, None
                 loss_value = float(jax.device_get(loss))
                 step_end = time.time()
 
@@ -79,7 +83,7 @@ def run_training(
                 losses.append(loss_value)
                 step_times.append(step_duration)
                 for hook in step_hooks:
-                    hook(step, loss_value, step_duration)
+                    hook(step, loss_value, step_duration, aux)
                 step += 1
                 it += 1
 
