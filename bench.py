@@ -30,8 +30,23 @@ def main() -> None:
     parser.add_argument("--model", type=str, default="base")
     args = parser.parse_args()
 
+    from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
+
+    enable_host_cpu()
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: TPU compiles of whisper-base are minutes-slow
+    # and highly variable; cache them across bench invocations.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
 
     from tethys_tpu.models.whisper import create_whisper_model
     from tethys_tpu.parallel import dp
@@ -50,10 +65,11 @@ def main() -> None:
         np_rng.integers(3, 100, size=(args.batch_size, 100)), dtype=jnp.int32
     )
 
-    params = model.init(
-        {"params": rng, "dropout": rng},
-        features[:1, :, :64], labels=labels[:1], deterministic=True,
-    )["params"]
+    with host_cpu_context():  # init is one-shot; skip the slow TPU round-trip
+        params = model.init(
+            {"params": rng, "dropout": rng},
+            features[:1, :, :64], labels=labels[:1], deterministic=True,
+        )["params"]
     optimizer = dp.whisper_optimizer(1e-4)
     state = dp.replicate_state(
         dp.TrainState(params, optimizer.init(params)), mesh

@@ -9,6 +9,12 @@ import sys
 # Allow running `python jobs/foo.py` without installing the package.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Host-CPU fallback for tiny one-shot programs (model.init) — must happen
+# before the first backend query.
+from tethys_tpu.utils.device import enable_host_cpu  # noqa: E402
+
+enable_host_cpu()
+
 
 def add_common_flags(parser: argparse.ArgumentParser, num_batches_default: int,
                      batch_size_default: int) -> None:

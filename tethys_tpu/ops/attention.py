@@ -42,16 +42,21 @@ def multi_head_attention(
     use_flash: bool = False,
 ) -> jax.Array:
     """Returns [B, H, Tq, D] attention output."""
-    if (
-        use_flash
-        and _on_tpu()
-        and query.shape[2] >= _FLASH_MIN_SEQ
-        and (deterministic or dropout_rate == 0.0)
-    ):
+    if use_flash and _on_tpu() and query.shape[2] >= _FLASH_MIN_SEQ:
         from tethys_tpu.ops import pallas_attention
 
         if pallas_attention.supported(query, key, value, bias):
-            return pallas_attention.flash_attention(query, key, value, bias)
+            rate = 0.0 if deterministic else dropout_rate
+            if rate > 0.0 and dropout_rng is not None:
+                seed = jax.random.randint(
+                    dropout_rng, (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+            else:
+                rate, seed = 0.0, 0
+            return pallas_attention.flash_attention(
+                query, key, value, bias, dropout_rate=rate, seed=seed,
+            )
     return _xla_attention(
         query, key, value, bias, dropout_rate, dropout_rng, deterministic
     )

@@ -1,15 +1,397 @@
-"""Pallas flash attention for TPU (placeholder gate).
+"""Fused flash attention (fwd + bwd) with in-kernel probability dropout.
 
-The real fused kernel lands in `flash_attention`; until it is implemented the
-`supported` gate returns False so callers fall back to the XLA path.
+Why this kernel exists: the reference applies dropout to the attention
+probabilities during training (reference speech_jobs/whisper_dist.py:160,
+wav2vec2_dist.py:360).  Under plain XLA at seq_len 1500 that means
+materializing the [B, H, T, T] probability tensor in HBM *and* generating a
+same-shaped random mask — measured at ~2x the whole train step on v5e.  This
+kernel streams K/V blocks through VMEM (classic flash attention: online
+softmax with running max/denominator) and draws the dropout mask from the
+TPU's per-core PRNG inside the kernel, seeded per (batch*head, q-block,
+k-block) so the backward pass can regenerate the identical mask without
+storing it.
+
+Semantics: out = dropout(softmax(q @ k^T + mask)) @ v with dropout applied to
+the *normalized* probabilities (TF/Keras semantics), scaled by 1/(1-rate).
+q is expected pre-scaled (by head_dim^-0.5) like the XLA path.
+
+Residuals saved for backward: o and L = m + log(l) (per-row logsumexp).
+Backward uses the standard flash decomposition
+    dv = (M.P/(1-r))^T do
+    ds = P . (M.(do v^T)/(1-r) - D),   D = rowsum(do . o)
+    dq = ds k,  dk = ds^T q
+with P = exp(s - L) recomputed blockwise and M regenerated from the seed.
+
+Constraints: head_dim <= 128 (all Whisper/Wav2Vec2 sizes use 64), no
+attention bias (used for encoder self-attention; the short decoder/causal
+paths stay on XLA), sequence padded to the 128-lane block size with zero-q /
+masked-k handling.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Large blocks: at head_dim 64 a [512, 2048] f32 score tile is 4 MB of VMEM,
+# and big tiles keep the MXU busy while slashing grid-dispatch overhead
+# (128x128 blocks meant ~18k programs per layer at seq 1536).
+MAX_BLOCK_Q = 512
+MAX_BLOCK_K = 2048
+NEG_INF = -1e30
+
+
+def _block_sizes(tq: int, tk: int):
+    bq = min(MAX_BLOCK_Q, -(-tq // 128) * 128)
+    bk = min(MAX_BLOCK_K, -(-tk // 128) * 128)
+    return bq, bk
+
+_INTERPRET = False  # set True (tests) to run kernels in interpreter mode
+
 
 def supported(query, key, value, bias) -> bool:
-    return False
+    """Gate used by ops.attention: no bias, head_dim <= 128, self-attn-sized."""
+    if bias is not None:
+        return False
+    if query.shape[-1] > 128:
+        return False
+    return True
 
 
-def flash_attention(query, key, value, bias):  # pragma: no cover
-    raise NotImplementedError
+def _seed_for_block(base_seed, b, i, j):
+    # Distinct, order-independent stream per (batch*head, q-block, k-block).
+    return base_seed + b * 1000003 + i * 7919 + j * 104729
+
+
+def _dropout_mask(base_seed, b, i, j, shape, rate: float):
+    pltpu.prng_seed(_seed_for_block(base_seed, b, i, j))
+    # prng_random_bits yields int32 bit patterns; reinterpret as uint32
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = np.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    return bits >= threshold  # True = keep, P(drop) = rate
+
+
+# ---------------------------------------------------------------------------
+# Forward
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, kv_len: int, num_k_blocks: int,
+                dropout_rate: float, block_k: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                      # [BQ, D]
+    k = k_ref[0]                      # [BK, D]
+    v = v_ref[0]                      # [BK, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )                                 # [BQ, BK]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:, 0]              # [BQ]
+    l_prev = l_ref[:, 0]
+    m_cur = jnp.max(s, axis=-1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, None])   # un-normalized probs, f32
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1)
+
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(seed_ref[0], b, i, j, p.shape, dropout_rate)
+        p_use = jnp.where(keep, p, 0.0)
+    else:
+        p_use = p
+
+    acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+        p_use.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(j == num_k_blocks - 1)
+    def _():
+        l_final = l_ref[:, 0]
+        scale = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+        o_ref[0] = (acc_ref[:] * (scale / l_final)[:, None]).astype(o_ref.dtype)
+        lse = m_ref[:, 0] + jnp.log(l_final)
+        # [1, 8, BQ] tile: TPU blocks need (8, 128)-aligned trailing dims
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+
+
+def _flash_fwd(q, k, v, seed, dropout_rate: float, kv_len: int):
+    bh, tq, d = q.shape
+    _, tk, _ = k.shape
+    BLOCK_Q, BLOCK_K = _block_sizes(tq, tk)
+    num_q = tq // BLOCK_Q
+    num_k = tk // BLOCK_K
+
+    kernel = functools.partial(
+        _fwd_kernel, kv_len=kv_len, num_k_blocks=num_k,
+        dropout_rate=dropout_rate, block_k=BLOCK_K,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_K, d), lambda b, i, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, BLOCK_K, d), lambda b, i, j, *_: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i, j, *_: (b, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, d), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 128), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 128), jnp.float32),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        jax.ShapeDtypeStruct((bh, 8, tq), jnp.float32),  # lse, sublane-bcast
+    ]
+    o, lse = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(seed, q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward
+
+def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc_ref, *, kv_len: int, num_k_blocks: int,
+                   dropout_rate: float, block_k: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]               # [BQ]
+    delta = delta_ref[0, 0]           # [BQ]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])     # normalized probs
+
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(seed_ref[0], b, i, j, p.shape, dropout_rate)
+        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+    ds = p * (dp - delta[:, None])
+    dq_acc_ref[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_k_blocks - 1)
+    def _():
+        dq_ref[0] = dq_acc_ref[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc_ref, dv_acc_ref, *, kv_len: int,
+                    num_q_blocks: int, dropout_rate: float, block_k: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)              # k block
+    i = pl.program_id(2)              # q block (inner)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc_ref[:] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[:] = jnp.zeros_like(dv_acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])     # [BQ, BK]
+
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(seed_ref[0], b, i, j, p.shape, dropout_rate)
+        p_drop = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    else:
+        keep = None
+        p_drop = p
+
+    # dv += (M.P/(1-r))^T do
+    dv_acc_ref[:] += jax.lax.dot_general(
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+    ds = p * (dp - delta[:, None])    # [BQ, BK]
+    dk_acc_ref[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == num_q_blocks - 1)
+    def _():
+        dk_ref[0] = dk_acc_ref[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc_ref[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, seed, dropout_rate: float, kv_len: int):
+    bh, tq, d = q.shape
+    _, tk, _ = k.shape
+    BLOCK_Q, BLOCK_K = _block_sizes(tq, tk)
+    num_q = tq // BLOCK_Q
+    num_k = tk // BLOCK_K
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)          # [BH, TQ]
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, tq))
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, kv_len=kv_len, num_k_blocks=num_k,
+        dropout_rate=dropout_rate, block_k=BLOCK_K)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, num_q, num_k),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, BLOCK_K, d), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, BLOCK_K, d), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i, j, *_: (b, 0, i)),
+                pl.BlockSpec((1, 8, BLOCK_Q), lambda b, i, j, *_: (b, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j, *_: (b, i, 0)),
+            scratch_shapes=[pltpu.VMEM((BLOCK_Q, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        interpret=_INTERPRET,
+    )(seed, q, k, v, do, lse, delta)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, kv_len=kv_len, num_q_blocks=num_q,
+        dropout_rate=dropout_rate, block_k=BLOCK_K)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, num_k, num_q),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_Q, d), lambda b, j, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, BLOCK_K, d), lambda b, j, i, *_: (b, j, 0)),
+                pl.BlockSpec((1, BLOCK_K, d), lambda b, j, i, *_: (b, j, 0)),
+                pl.BlockSpec((1, BLOCK_Q, d), lambda b, j, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, 8, BLOCK_Q), lambda b, j, i, *_: (b, 0, i)),
+                pl.BlockSpec((1, 8, BLOCK_Q), lambda b, j, i, *_: (b, 0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BLOCK_K, d), lambda b, j, i, *_: (b, j, 0)),
+                pl.BlockSpec((1, BLOCK_K, d), lambda b, j, i, *_: (b, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_K, d), jnp.float32),
+                pltpu.VMEM((BLOCK_K, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
+        ],
+        interpret=_INTERPRET,
+    )(seed, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper on padded [BH, T, D] layout
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, seed_arr, dropout_rate: float, kv_len: int):
+    o, _ = _flash_fwd(q, k, v, seed_arr, dropout_rate, kv_len)
+    return o
+
+
+def _flash_fwd_rule(q, k, v, seed_arr, dropout_rate, kv_len):
+    o, lse = _flash_fwd(q, k, v, seed_arr, dropout_rate, kv_len)
+    return o, (q, k, v, o, lse, seed_arr)
+
+
+def _flash_bwd_rule(dropout_rate, kv_len, residuals, do):
+    q, k, v, o, lse, seed_arr = residuals
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, seed_arr,
+                            dropout_rate, kv_len)
+    # seed is integer-valued: its cotangent has dtype float0
+    return dq, dk, dv, np.zeros(seed_arr.shape, dtype=jax.dtypes.float0)
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _pad_to(x, length, axis):
+    pad = length - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def flash_attention(
+    query: jax.Array,   # [B, H, Tq, D], pre-scaled
+    key: jax.Array,     # [B, H, Tk, D]
+    value: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    seed=0,             # python int or traced int32 scalar
+) -> jax.Array:
+    """Flash attention entry point on the [B, H, T, D] layout."""
+    assert bias is None, "flash path handles bias-free attention only"
+    b, h, tq, d = query.shape
+    tk = key.shape[2]
+
+    bq, bk = _block_sizes(tq, tk)
+    tq_pad = -(-tq // bq) * bq
+    tk_pad = -(-tk // bk) * bk
+    q = _pad_to(query.reshape(b * h, tq, d), tq_pad, 1)
+    k = _pad_to(key.reshape(b * h, tk, d), tk_pad, 1)
+    v = _pad_to(value.reshape(b * h, tk, d), tk_pad, 1)
+
+    seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    o = _flash(q, k, v, seed_arr, float(dropout_rate), tk)
+    return o[:, :tq, :].reshape(b, h, tq, d)

@@ -22,12 +22,15 @@ from tethys_tpu.train.loop import run_training, TrainLoopResult
 
 
 def _init_whisper(model, config, rng):
+    from tethys_tpu.utils.device import host_cpu_context
+
     features = jnp.zeros((1, config.n_mels, 16), dtype=jnp.float32)
     decoder_ids = jnp.zeros((1, 4), dtype=jnp.int32)
-    variables = model.init(
-        {"params": rng, "dropout": rng},
-        features, decoder_input_ids=decoder_ids, deterministic=True,
-    )
+    with host_cpu_context():  # init is tiny; avoid a slow TPU compile+run
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            features, decoder_input_ids=decoder_ids, deterministic=True,
+        )
     return variables["params"]
 
 
@@ -41,7 +44,11 @@ def _init_wav2vec2(model, config, rng, model_kind: str):
             else jnp.zeros((1,), dtype=jnp.int32)
         )
         kwargs["labels"] = labels
-    variables = model.init({"params": rng, "dropout": rng}, audio, **kwargs)
+    from tethys_tpu.utils.device import host_cpu_context
+
+    with host_cpu_context():
+        variables = model.init({"params": rng, "dropout": rng}, audio,
+                               **kwargs)
     return variables["params"]
 
 

@@ -1,0 +1,40 @@
+"""Device/platform helpers.
+
+On tunneled TPU runtimes both compilation and *first execution* of a program
+are minutes-slow, so tiny throwaway programs (model.init runs once on dummy
+shapes) should run on host CPU.  `enable_host_cpu()` appends "cpu" to an
+explicitly pinned platform list (e.g. JAX_PLATFORMS=axon) before backends
+initialize; `host_cpu_context()` returns a context manager that makes the CPU
+the default device if one is available.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+
+def enable_host_cpu() -> None:
+    """Append cpu to jax_platforms when a specific platform is pinned.
+
+    Must run before the first backend query.  No-op on auto-detection
+    (cpu is always registered there) or when already present.
+    """
+    try:
+        import jax
+
+        current = jax.config.jax_platforms
+        if current and "cpu" not in current.split(","):
+            jax.config.update("jax_platforms", current + ",cpu")
+    except Exception:  # noqa: BLE001 — an unavailable knob must not kill jobs
+        pass
+
+
+def host_cpu_context():
+    """Context manager running enclosed computations on host CPU."""
+    try:
+        import jax
+
+        cpu = jax.devices("cpu")[0]
+        return jax.default_device(cpu)
+    except Exception:  # noqa: BLE001
+        return contextlib.nullcontext()
