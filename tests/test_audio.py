@@ -1,0 +1,105 @@
+"""Audio frontend parity tests against tf.signal goldens."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tethys_tpu.audio import (
+    extract_fbank_features,
+    linear_to_mel_weight_matrix,
+    prepare_input_features,
+)
+from tethys_tpu.audio import pallas_logmel
+
+
+def test_mel_matrix_matches_tf():
+    tf = pytest.importorskip("tensorflow")
+    got = linear_to_mel_weight_matrix(80, 201, 16000, 0.0, 8000.0)
+    want = tf.signal.linear_to_mel_weight_matrix(
+        80, 201, 16000, 0.0, 8000.0).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_fbank_matches_tf_pipeline():
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(0)
+    wave = rng.standard_normal(16000).astype(np.float32)  # 1 s
+
+    got = np.asarray(extract_fbank_features(jnp.asarray(wave)))
+
+    stfts = tf.signal.stft(tf.constant(wave), frame_length=400,
+                           frame_step=160, fft_length=400)
+    power = tf.math.square(tf.abs(stfts))
+    mel_matrix = tf.signal.linear_to_mel_weight_matrix(80, 201, 16000, 0, 8000)
+    mel = tf.tensordot(power, mel_matrix, 1)
+    want = tf.math.log(mel + 1e-6).numpy()
+
+    assert got.shape == want.shape == (1 + (16000 - 400) // 160, 80)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_prepare_input_features_layout():
+    rng = np.random.default_rng(1)
+    wave = jnp.asarray(rng.standard_normal(16000 * 2).astype(np.float32))
+    feats = prepare_input_features(wave)
+    assert feats.shape == (1, 80, 3000)  # padded to the 30 s frame budget
+    short = prepare_input_features(wave, n_frames=100)
+    assert short.shape == (1, 80, 100)  # trimmed
+
+
+def test_fused_logmel_matches_frontend_interpret():
+    """Pallas kernel (interpreter mode) vs the XLA frontend."""
+    pallas_logmel._INTERPRET = True
+    try:
+        rng = np.random.default_rng(2)
+        wave = jnp.asarray(
+            rng.standard_normal((2, 16000)).astype(np.float32))
+        got = np.asarray(pallas_logmel.fused_log_mel(wave))
+        want = np.asarray(extract_fbank_features(wave))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    finally:
+        pallas_logmel._INTERPRET = False
+
+
+def test_transcribe_audio_tiny():
+    """End-to-end transcription path on a tiny model (random weights)."""
+    import jax
+    from tethys_tpu.configs import WhisperConfig
+    from tethys_tpu.models.whisper import WhisperForConditionalGeneration
+    from tethys_tpu.inference import transcribe_audio
+
+    config = WhisperConfig(
+        d_model=32, encoder_layers=1, encoder_attention_heads=2,
+        decoder_layers=1, decoder_attention_heads=2, d_ff=64,
+        n_mels=80, n_ctx=64, vocab_size=64, max_target_positions=16,
+        decoder_start_token_id=60,
+    )
+    model = WhisperForConditionalGeneration(config)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    feats = jnp.zeros((1, 80, 128))
+    labels = jnp.zeros((1, 4), dtype=jnp.int32)
+    variables = {"params": model.init(
+        {"params": rng, "dropout": rng}, feats, labels=labels,
+        deterministic=True)["params"]}
+
+    wave = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    ids = transcribe_audio(model, variables, wave, max_length=8)
+    assert ids[0] == 60  # starts with decoder_start_token_id
+    assert 1 <= len(ids) <= 9
+
+
+def test_preprocess_text():
+    from tethys_tpu.inference import preprocess_text
+
+    class Tok:
+        bos_token_id = 1
+        eos_token_id = 2
+
+        def encode(self, text):
+            return [ord(c) % 50 + 3 for c in text]
+
+    out = preprocess_text("ab", Tok())
+    assert out[0] == 1 and out[-1] == 2 and len(out) == 4

@@ -1,0 +1,117 @@
+"""STFT -> log-mel audio frontend, bit-matching the TF reference math.
+
+Reference (speech_jobs/whisper_dist.py:739-766): `tf.signal.stft`
+(frame_length=400, frame_step=160, periodic Hann window, pad_end=False) ->
+power spectrum -> `tf.signal.linear_to_mel_weight_matrix(80, 201, 16000,
+0, 8000)` (HTK mel scale, DC bin zeroed) -> log(mel + 1e-6).
+
+The mel matrix and window are computed in numpy once (compile-time
+constants); the per-utterance compute is framing + rfft + two matmuls, which
+XLA fuses tightly.  The fully fused single-kernel version (frame window +
+matmul-DFT + power + mel + log without touching HBM in between) lives in
+pallas_logmel.py.
+
+Note a reference quirk (SURVEY quirk #11): its transcribe path feeds the
+[frames, mels] output into the encoder without transposing to the expected
+[B, n_mels, T] layout; `prepare_input_features` here does the
+transpose + pad/trim to the model's 3000-frame window properly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hertz_to_mel(freq):
+    """HTK mel scale (what tf.signal uses)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(freq, dtype=np.float64) / 700.0)
+
+
+@functools.lru_cache(maxsize=8)
+def linear_to_mel_weight_matrix(
+    num_mel_bins: int = 80,
+    num_spectrogram_bins: int = 201,
+    sample_rate: int = 16000,
+    lower_edge_hertz: float = 0.0,
+    upper_edge_hertz: float = 8000.0,
+) -> np.ndarray:
+    """[num_spectrogram_bins, num_mel_bins] float32, TF semantics
+    (DC bin zeroed, triangular bands on the mel scale)."""
+    bands_to_zero = 1
+    nyquist = sample_rate / 2.0
+    linear_freqs = np.linspace(0.0, nyquist, num_spectrogram_bins)[bands_to_zero:]
+    spectrogram_mels = hertz_to_mel(linear_freqs)[:, None]
+
+    edges = np.linspace(
+        hertz_to_mel(lower_edge_hertz), hertz_to_mel(upper_edge_hertz),
+        num_mel_bins + 2,
+    )
+    lower = edges[:-2][None, :]
+    center = edges[1:-1][None, :]
+    upper = edges[2:][None, :]
+
+    lower_slopes = (spectrogram_mels - lower) / (center - lower)
+    upper_slopes = (upper - spectrogram_mels) / (upper - center)
+    weights = np.maximum(0.0, np.minimum(lower_slopes, upper_slopes))
+    return np.pad(weights, [[bands_to_zero, 0], [0, 0]]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def hann_window(length: int = 400) -> np.ndarray:
+    """Periodic Hann window (tf.signal.hann_window default)."""
+    n = np.arange(length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / length)).astype(np.float32)
+
+
+def frame_signal(waveform: jax.Array, frame_length: int = 400,
+                 frame_step: int = 160) -> jax.Array:
+    """[..., T] -> [..., num_frames, frame_length], pad_end=False."""
+    total = waveform.shape[-1]
+    num_frames = 1 + (total - frame_length) // frame_step
+    idx = (
+        np.arange(num_frames)[:, None] * frame_step
+        + np.arange(frame_length)[None, :]
+    )
+    return waveform[..., idx]
+
+
+def extract_fbank_features(
+    waveform: jax.Array,
+    sample_rate: int = 16000,
+    n_mels: int = 80,
+    n_fft: int = 400,
+    hop_length: int = 160,
+) -> jax.Array:
+    """[..., T] waveform -> [..., num_frames, n_mels] log-mel features,
+    matching the reference extract_fbank_features (incl. sample_rate // 2
+    upper edge and the log(x + 1e-6) floor)."""
+    frames = frame_signal(waveform, n_fft, hop_length)
+    windowed = frames * jnp.asarray(hann_window(n_fft))
+    stft = jnp.fft.rfft(windowed.astype(jnp.float32), n=n_fft)
+    power = jnp.square(jnp.abs(stft))
+
+    num_bins = n_fft // 2 + 1
+    mel_matrix = jnp.asarray(linear_to_mel_weight_matrix(
+        n_mels, num_bins, sample_rate, 0.0, float(sample_rate // 2)))
+    mel = jnp.tensordot(power, mel_matrix, axes=1)
+    return jnp.log(mel + 1e-6)
+
+
+def prepare_input_features(waveform: jax.Array, n_frames: int = 3000,
+                           n_mels: int = 80) -> jax.Array:
+    """Waveform [T] -> model input [1, n_mels, n_frames]: log-mel, transposed
+    to the encoder layout and padded/trimmed to the 30 s frame budget (the
+    transpose the reference transcribe path forgot)."""
+    feats = extract_fbank_features(waveform)           # [F, n_mels]
+    feats = feats.T                                    # [n_mels, F]
+    f = feats.shape[-1]
+    if f < n_frames:
+        feats = jnp.pad(feats, ((0, 0), (0, n_frames - f)),
+                        constant_values=float(np.log(1e-6)))
+    else:
+        feats = feats[:, :n_frames]
+    return feats[None]
