@@ -4,10 +4,13 @@ Prints ONE JSON line:
   {"metric": "whisper_base_audio_sec_per_sec_per_chip", "value": N,
    "unit": "audio-sec/sec/chip", "vs_baseline": N, ...}
 
-audio-sec/sec/chip = (batch * 30 s of audio) / steady-state step time of the
-full jitted train step (fwd + bwd + Adam), per chip.  `vs_baseline` compares
-against `bench_baseline.json` at the repo root (the recorded reference-class
-number); 1.0 when no baseline is recorded yet.
+audio-sec/sec/chip = (batch * seconds of audio per sample) / steady-state
+step time of the full jitted train step (fwd + bwd + Adam), per chip.
+`vs_baseline` compares against `bench_baseline.json` at the repo root (the
+recorded reference-class number); 1.0 when no baseline is recorded yet.
+
+`--family wav2vec2` benches Wav2Vec2-base contrastive pretraining (2 s clips)
+instead; the driver's default run keeps the Whisper-base headline metric.
 """
 
 from __future__ import annotations
@@ -20,6 +23,76 @@ import time
 import numpy as np
 
 
+def _build_whisper(args, jax, jnp, dp, host_cpu_context):
+    from tethys_tpu.models.whisper import create_whisper_model
+
+    model, config = create_whisper_model(args.model, compute_dtype=args.dtype)
+    rng = jax.random.PRNGKey(0)
+    np_rng = np.random.default_rng(0)
+    features = jnp.asarray(
+        np_rng.standard_normal((args.batch_size, config.n_mels, 3000),
+                               dtype=np.float32))
+    labels = jnp.asarray(
+        np_rng.integers(3, 100, size=(args.batch_size, 100)), dtype=jnp.int32)
+
+    with host_cpu_context():  # init is one-shot; skip the slow TPU round-trip
+        params = model.init(
+            {"params": rng, "dropout": rng},
+            features[:1, :, :64], labels=labels[:1], deterministic=True,
+        )["params"]
+    optimizer = dp.whisper_optimizer(1e-4)
+
+    def loss_fn(p, batch, step_rng):
+        f, l = batch
+        out = model.apply(
+            {"params": p}, f, labels=l,
+            deterministic=False, rngs={"dropout": step_rng},
+        )
+        return out["loss"], {}
+
+    def probe(state):
+        return float(state.params["model"]["encoder"]["conv1"]["kernel"][0, 0, 0])
+
+    audio_seconds = 30.0
+    return (params, optimizer, loss_fn, (features, labels), probe,
+            audio_seconds, False, "whisper_base")
+
+
+def _build_wav2vec2(args, jax, jnp, dp, host_cpu_context):
+    from tethys_tpu.models.wav2vec2 import create_full_model, pretraining_loss
+
+    model, config = create_full_model(
+        "pretraining", args.model, compute_dtype=args.dtype)
+    rng = jax.random.PRNGKey(0)
+    np_rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        np_rng.standard_normal((args.batch_size, 32000), dtype=np.float32))
+    labels = jnp.zeros((args.batch_size,), dtype=jnp.float32)
+
+    with host_cpu_context():
+        params = model.init(
+            {"params": rng, "dropout": rng}, audio[:1, :2000], training=True,
+        )["params"]
+    optimizer = dp.wav2vec2_optimizer(3e-5)
+
+    def loss_fn(p, batch, step_rng):
+        features, _ = batch
+        rng_d, rng_n = jax.random.split(step_rng)
+        outputs = model.apply(
+            {"params": p}, features, training=True, rngs={"dropout": rng_d},
+        )
+        loss, _aux = pretraining_loss(config, outputs, rng_n)
+        return loss, {}
+
+    def probe(state):
+        kern = state.params["wav2vec2"]["feature_extractor"]["conv_0"]["kernel"]
+        return float(kern[0, 0, 0])
+
+    audio_seconds = 2.0
+    return (params, optimizer, loss_fn, (audio, labels), probe,
+            audio_seconds, True, f"wav2vec2_{args.model}")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=16)
@@ -28,6 +101,8 @@ def main() -> None:
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--model", type=str, default="base")
+    parser.add_argument("--family", type=str, default="whisper",
+                        choices=["whisper", "wav2vec2"])
     args = parser.parse_args()
 
     from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
@@ -48,50 +123,25 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — cache is an optimization only
         pass
 
-    from tethys_tpu.models.whisper import create_whisper_model
     from tethys_tpu.parallel import dp
     from tethys_tpu.parallel.mesh import make_data_mesh
 
     mesh = make_data_mesh(1)
-    model, config = create_whisper_model(args.model, compute_dtype=args.dtype)
+    builder = _build_whisper if args.family == "whisper" else _build_wav2vec2
+    (params, optimizer, loss_fn, host_batch, probe, audio_seconds, hardened,
+     model_tag) = builder(args, jax, jnp, dp, host_cpu_context)
+
     rng = jax.random.PRNGKey(0)
-
-    np_rng = np.random.default_rng(0)
-    features = jnp.asarray(
-        np_rng.standard_normal((args.batch_size, config.n_mels, 3000),
-                               dtype=np.float32)
-    )
-    labels = jnp.asarray(
-        np_rng.integers(3, 100, size=(args.batch_size, 100)), dtype=jnp.int32
-    )
-
-    with host_cpu_context():  # init is one-shot; skip the slow TPU round-trip
-        params = model.init(
-            {"params": rng, "dropout": rng},
-            features[:1, :, :64], labels=labels[:1], deterministic=True,
-        )["params"]
-    optimizer = dp.whisper_optimizer(1e-4)
     state = dp.replicate_state(
-        dp.TrainState(params, optimizer.init(params)), mesh
-    )
-
-    def loss_fn(p, batch, step_rng):
-        f, l = batch
-        out = model.apply(
-            {"params": p}, f, labels=l,
-            deterministic=False, rngs={"dropout": step_rng},
-        )
-        return out["loss"], {}
-
-    step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
-    batch = dp.shard_batch((features, labels), mesh)
+        dp.TrainState(params, optimizer.init(params)), mesh)
+    step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=hardened)
+    batch = dp.shard_batch(host_batch, mesh)
 
     def force(state, loss):
         # On tunneled TPU runtimes block_until_ready can return before the
         # device finishes; a host fetch of values that depend on the whole
         # fwd+bwd+update chain (earliest conv kernel + loss) cannot.
-        kernel = state.params["model"]["encoder"]["conv1"]["kernel"]
-        return float(kernel[0, 0, 0]) + float(loss)
+        return probe(state) + float(loss)
 
     for i in range(args.warmup):
         state, loss = step(state, batch, jax.random.fold_in(rng, i))
@@ -102,20 +152,21 @@ def main() -> None:
         state, loss = step(state, batch, jax.random.fold_in(rng, 100 + i))
     force(state, loss)
     step_time = (time.perf_counter() - t0) / args.steps
-    audio_sec_per_sec = args.batch_size * 30.0 / step_time
+    audio_sec_per_sec = args.batch_size * audio_seconds / step_time
 
+    metric = f"{model_tag}_audio_sec_per_sec_per_chip"
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
     vs_baseline = 1.0
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
-        ref = baseline.get("whisper_base_audio_sec_per_sec_per_chip")
+        ref = baseline.get(metric)
         if ref:
             vs_baseline = audio_sec_per_sec / float(ref)
 
     print(json.dumps({
-        "metric": "whisper_base_audio_sec_per_sec_per_chip",
+        "metric": metric,
         "value": round(audio_sec_per_sec, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(vs_baseline, 3),

@@ -1,0 +1,86 @@
+"""Checkpoint save/restore tests (restore is our extension — the reference
+is write-only, SURVEY §5.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tethys_tpu.checkpoint import CheckpointManager, save_final_weights
+from tethys_tpu.parallel import dp
+from tethys_tpu.parallel.mesh import make_data_mesh
+
+
+def _setup():
+    mesh = make_data_mesh(4)
+    params = {"w": jnp.asarray(np.random.default_rng(0)
+                               .standard_normal((4, 3)).astype(np.float32))}
+    opt = optax.adam(1e-2)
+    state = dp.TrainState(params, opt.init(params))
+
+    def loss_fn(p, batch, rng):
+        x, y = batch
+        return jnp.mean((x @ p["w"] - y) ** 2), {}
+
+    step = dp.make_train_step(loss_fn, opt, mesh, hardened=False)
+    rng = np.random.default_rng(1)
+    batch = (rng.standard_normal((8, 4)).astype(np.float32),
+             rng.standard_normal((8, 3)).astype(np.float32))
+    batch = dp.shard_batch(batch, mesh)
+    return mesh, state, step, batch
+
+
+def test_save_restore_roundtrip(tmp_path):
+    mesh, state, step, batch = _setup()
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    key = jax.random.PRNGKey(0)
+    state, _ = step(state, batch, key)
+    saved = jax.device_get(state)
+    mgr.save("model_step_1", state)
+
+    restored = mgr.restore("model_step_1", jax.device_get(state))
+    for a, b in zip(jax.tree_util.tree_leaves(saved),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert mgr.latest_tag() == "model_step_1"
+
+
+def test_resume_equals_uninterrupted(tmp_path):
+    """save@2 + restore + 2 more steps == 4 straight steps."""
+    mesh, state0, step, batch = _setup()
+    mgr = CheckpointManager(str(tmp_path / "c"))
+    keys = [jax.random.PRNGKey(i) for i in range(4)]
+
+    # straight 4 steps
+    s = state0
+    for k in keys:
+        s, _ = step(s, batch, k)
+    straight = jax.device_get(s)
+
+    # interrupted at 2
+    mesh2, state0b, step2, batch2 = _setup()
+    s = state0b
+    for k in keys[:2]:
+        s, _ = step2(s, batch2, k)
+    mgr.save("model_step_2", s)
+
+    template = jax.device_get(s)
+    restored = mgr.restore("model_step_2", template)
+    restored = dp.replicate_state(dp.TrainState(*restored), mesh2)
+    for k in keys[2:]:
+        restored, _ = step2(restored, batch2, k)
+    resumed = jax.device_get(restored)
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_final_weights_save(tmp_path, monkeypatch):
+    monkeypatch.setenv("TETHYS_WORKSPACE", str(tmp_path))
+    params = {"w": jnp.ones((2, 2))}
+    path = save_final_weights(params, "model_x")
+    assert path.endswith("model_cache/model_x")
+    import os
+
+    assert os.path.isdir(path)

@@ -321,12 +321,14 @@ class Wav2Vec2ForPreTraining(nn.Module):
     def setup(self):
         self.wav2vec2 = Wav2Vec2Model(self.config)
 
-    def __call__(self, inputs, attention_mask=None, training: bool = False):
+    def __call__(self, inputs, attention_mask=None, training: bool = False,
+                 deterministic=None):
+        deterministic = (not training) if deterministic is None else deterministic
         outputs = self.wav2vec2(
-            inputs, attention_mask=attention_mask, training=training
+            inputs, attention_mask=attention_mask, training=training,
+            deterministic=deterministic,
         )
         if training and "quantized_features" in outputs:
-            deterministic = not training
             outputs["projected_states"] = self.wav2vec2.project_hid(
                 outputs["last_hidden_state"], deterministic=deterministic
             )
@@ -370,12 +372,14 @@ class Wav2Vec2ForCTC(nn.Module):
                                 kernel_init=DenseInit)
 
     def __call__(self, inputs, attention_mask=None, labels=None,
-                 training: bool = False) -> Dict[str, Any]:
+                 training: bool = False, deterministic=None) -> Dict[str, Any]:
+        deterministic = (not training) if deterministic is None else deterministic
         outputs = self.wav2vec2(
-            inputs, attention_mask=attention_mask, training=training
+            inputs, attention_mask=attention_mask, training=training,
+            deterministic=deterministic,
         )
         hidden = self.dropout(outputs["last_hidden_state"],
-                              deterministic=not training)
+                              deterministic=deterministic)
         logits = self.lm_head(hidden)
 
         loss = None
@@ -406,9 +410,11 @@ class Wav2Vec2ForSequenceClassification(nn.Module):
                                    kernel_init=DenseInit)
 
     def __call__(self, inputs, attention_mask=None, labels=None,
-                 training: bool = False) -> Dict[str, Any]:
+                 training: bool = False, deterministic=None) -> Dict[str, Any]:
+        deterministic = (not training) if deterministic is None else deterministic
         outputs = self.wav2vec2(
-            inputs, attention_mask=attention_mask, training=training
+            inputs, attention_mask=attention_mask, training=training,
+            deterministic=deterministic,
         )
         hidden = outputs["last_hidden_state"]
         if attention_mask is not None:
@@ -417,7 +423,7 @@ class Wav2Vec2ForSequenceClassification(nn.Module):
         else:
             pooled = jnp.mean(hidden, axis=1)
         pooled = jnp.tanh(self.projector(pooled))
-        pooled = self.dropout(pooled, deterministic=not training)
+        pooled = self.dropout(pooled, deterministic=deterministic)
         logits = self.classifier(pooled)
 
         loss = None
