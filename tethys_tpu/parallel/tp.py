@@ -1,0 +1,128 @@
+"""Tensor-parallel (dp x tp) training over a 2-D device mesh — extension.
+
+The reference implements only synchronous data parallelism (SURVEY §2.6);
+this module is the clearly-labeled extension that lets Whisper-medium/large
+span chips on a pod slice: a ('data', 'model') mesh where
+
+* batch is sharded over 'data',
+* the Megatron-style param sharding puts each attention/FFN block's first
+  matmul column-parallel and second matmul row-parallel over 'model'
+  (q/k/v + fc1 kernels sharded on the output dim, out_proj + fc2 on the
+  input dim), embeddings/lm_head sharded on the vocab dim,
+
+and `jax.jit` with NamedSharding-annotated params lets XLA insert the
+all-reduces on ICI (the scaling-book recipe: pick a mesh, annotate shardings,
+let the compiler place collectives).
+
+Loss/grad aggregation here is the standard global-batch mean (not the
+reference's SUM-of-replica-losses logging contract, which belongs to the DP
+trainer in dp.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tethys_tpu.parallel.dp import TrainState
+
+
+def make_2d_mesh(num_devices: Optional[int] = None,
+                 model_parallel: int = 2) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by tp={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+# Megatron-style sharding rules keyed on flax param path suffixes.
+# Each rule: (path predicate, PartitionSpec for the kernel).
+def _spec_for(path: Tuple[str, ...], leaf) -> P:
+    names = [str(p) for p in path]
+    joined = "/".join(names)
+    ndim = getattr(leaf, "ndim", 0)
+
+    def last_is(*keys):
+        return any(joined.endswith(k) for k in keys)
+
+    # Column-parallel: output dim sharded.
+    if last_is("q_proj/kernel", "k_proj/kernel", "v_proj/kernel",
+               "fc1/kernel", "intermediate_dense/kernel"):
+        return P(None, "model")
+    if last_is("q_proj/bias", "k_proj/bias", "v_proj/bias",
+               "fc1/bias", "intermediate_dense/bias"):
+        return P("model")
+    # Row-parallel: input dim sharded (output all-reduced by XLA).
+    if last_is("out_proj/kernel", "fc2/kernel", "output_dense/kernel"):
+        return P("model", None)
+    # Vocab-sharded embedding / LM head.
+    if last_is("embed_tokens/embedding"):
+        return P("model", None)
+    if last_is("lm_head/kernel"):
+        return P(None, "model")
+    del ndim
+    return P()  # replicate everything else (norms, convs, small heads)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    specs = {}
+    for path, leaf in flat:
+        specs[tuple(str(getattr(k, "key", k)) for k in path)] = _spec_for(
+            tuple(getattr(k, "key", str(k)) for k in path), leaf)
+
+    def lookup(path, leaf):
+        key = tuple(str(getattr(k, "key", k)) for k in path)
+        return NamedSharding(mesh, specs[key])
+
+    return jax.tree_util.tree_map_with_path(lookup, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def make_tp_train_step(
+    loss_fn: Callable,                  # (params, batch, rng) -> (loss, aux)
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+):
+    """jit train step over the 2-D mesh: global-mean loss, sharded params.
+
+    XLA propagates the param shardings through the computation and inserts
+    the tensor-parallel all-reduces; the gradient data-parallel reduction
+    falls out of the batch sharding.
+    """
+
+    def step(state: TrainState, batch, rng):
+        (loss, _aux), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, rng), has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt), loss
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(None, batch_sharding, replicated),
+        donate_argnums=(0,),
+    )
+
+
+def init_tp_state(params: Any, optimizer: optax.GradientTransformation,
+                  mesh: Mesh) -> TrainState:
+    """Shard params over the mesh; Adam moments inherit the shardings
+    (optimizer.init builds them with zeros_like, which preserves sharding)."""
+    sharded = shard_params(params, mesh)
+    return TrainState(sharded, optimizer.init(sharded))
