@@ -99,3 +99,22 @@ def test_dummy_ctc_loss_is_ce_vs_zeros():
     lg = logits.astype(np.float64)
     ce = np.log(np.exp(lg).sum(-1)) - lg[..., 0]
     np.testing.assert_allclose(got, ce.mean(), rtol=1e-5)
+
+
+def test_contrastive_matmul_equals_broadcast_form():
+    """The einsum formulation must equal the reference's broadcast-gather
+    form exactly (negatives are shared across time)."""
+    rng = np.random.default_rng(3)
+    h = rng.standard_normal((2, 12, 8)).astype(np.float32)
+    q = rng.standard_normal((2, 12, 8)).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+    logits, loss = losses.contrastive_loss(
+        jnp.asarray(h), jnp.asarray(q), key, num_negatives=5, temperature=0.1)
+
+    # golden: reference broadcast form in numpy
+    idx = np.asarray(losses.sample_negative_indices(key, 2, 12, 5))
+    pos = (h * q).sum(-1) / 0.1
+    neg_q = np.stack([q[b][idx[b]] for b in range(2)])  # [B, T, K, D]
+    neg = (h[:, :, None, :] * neg_q).sum(-1) / 0.1
+    want = np.concatenate([pos[:, :, None], neg], axis=2)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=1e-4, atol=1e-5)

@@ -85,9 +85,15 @@ def contrastive_loss(
     pos_logits = jnp.sum(h * q, axis=-1) / temperature  # [B, T]
     if num_negatives > 0:
         neg_idx = sample_negative_indices(rng, b, t, num_negatives)  # [B,T,K]
-        neg_q = jnp.take_along_axis(q[:, None, :, :],  # [B,1,T,D] gathered on T
-                                    neg_idx[..., None], axis=2)      # [B,T,K,D]
-        neg_logits = jnp.sum(h[:, :, None, :] * neg_q, axis=-1) / temperature
+        # The sampler tiles the same negative set across time (reference
+        # semantics), so gather only [B, K, D] and take the dot products as
+        # one MXU matmul instead of materializing the [B, T, K, D] broadcast
+        # tensor the reference builds (330 MB at base/batch-32).
+        neg_q = jnp.take_along_axis(
+            q, neg_idx[:, 0, :, None], axis=1)            # [B, K, D]
+        neg_logits = jnp.einsum(
+            "btd,bkd->btk", h, neg_q,
+            preferred_element_type=jnp.float32) / temperature
         logits = jnp.concatenate([pos_logits[:, :, None], neg_logits], axis=2)
     else:
         logits = pos_logits[:, :, None]
