@@ -42,7 +42,10 @@ def multi_head_attention(
     use_flash: bool = False,
 ) -> jax.Array:
     """Returns [B, H, Tq, D] attention output."""
-    if use_flash and _on_tpu() and query.shape[2] >= _FLASH_MIN_SEQ:
+    long_enough = (
+        query.shape[2] >= _FLASH_MIN_SEQ or key.shape[2] >= _FLASH_MIN_SEQ
+    )  # cross-attention with short queries over long KV also wins
+    if use_flash and _on_tpu() and long_enough:
         from tethys_tpu.ops import pallas_attention
 
         if pallas_attention.supported(query, key, value, bias):

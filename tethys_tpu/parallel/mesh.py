@@ -55,12 +55,32 @@ def job_name() -> str:
     return f"{task_type}_{task_index}"
 
 
+def cluster_spec_from_tf_config(tf_config: dict) -> Optional[Tuple[str, int, int]]:
+    """(coordinator_address, num_processes, process_id) from a Kubeflow-style
+    TF_CONFIG, or None for single-process configs.
+
+    Kubeflow TFJob ordering: chief first, then workers (reference
+    sample_tfjobs/whisper-dist.yaml declares CHIEF + WORKER replicas).
+    """
+    cluster = tf_config.get("cluster", {})
+    hosts = list(cluster.get("chief", [])) + list(cluster.get("worker", []))
+    if len(hosts) <= 1:
+        return None
+    task = tf_config.get("task", {})
+    task_type = task.get("type") or "worker"
+    task_index = int(task.get("index") or 0)
+    offset = 0 if task_type == "chief" else len(cluster.get("chief", []))
+    return hosts[0], len(hosts), offset + task_index
+
+
 def initialize_distributed(timeout_s: int = 120) -> None:
     """Initialize the JAX multi-process runtime when a cluster spec exists.
 
     Priority: JAX-native env (JAX_COORDINATOR_ADDRESS) > TF_CONFIG.  A single
     process with neither runs standalone — same degradation the reference
     relies on (README.md:43-45: dist scripts run locally without TF_CONFIG).
+    The timeout mirrors the reference's 120 s collective-op hardening
+    (wav2vec2_dist.py:1463-1471).
     """
     if jax.process_count() > 1:  # already initialized
         return
@@ -73,20 +93,13 @@ def initialize_distributed(timeout_s: int = 120) -> None:
     tf_config = _parse_tf_config()
     if not tf_config:
         return
-    cluster = tf_config.get("cluster", {})
-    # Kubeflow TFJob ordering: chief first, then workers (reference
-    # sample_tfjobs/whisper-dist.yaml declares CHIEF + WORKER replicas).
-    hosts = list(cluster.get("chief", [])) + list(cluster.get("worker", []))
-    if len(hosts) <= 1:
+    spec = cluster_spec_from_tf_config(tf_config)
+    if spec is None:
         return
-    task = tf_config.get("task", {})
-    task_type = task.get("type") or "worker"
-    task_index = int(task.get("index") or 0)
-    offset = 0 if task_type == "chief" else len(cluster.get("chief", []))
-    process_id = offset + task_index
+    coordinator, num_processes, process_id = spec
     jax.distributed.initialize(
-        coordinator_address=hosts[0],
-        num_processes=len(hosts),
+        coordinator_address=coordinator,
+        num_processes=num_processes,
         process_id=process_id,
         initialization_timeout=timeout_s,
     )
