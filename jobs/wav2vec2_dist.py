@@ -29,6 +29,8 @@ def main() -> None:
         help="Model size: tiny (~15-20M params), small (~30-40M params), "
              "base (~95M params)",
     )
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint (extension)")
     args = parser.parse_args()
 
     from tethys_tpu.parallel import mesh as mesh_lib
@@ -55,6 +57,7 @@ def main() -> None:
         num_batches=args.num_batches,
         mesh=mesh,
         compute_dtype=args.dtype,
+        resume=args.resume,
     )
     jct = time.time() - start
     jobs.finalize_job(result, f"wav2vec2_{args.model_size}_model", jct)

@@ -39,6 +39,8 @@ def main() -> None:
                         help="Learning rate")
     parser.add_argument("--num_epochs", type=int, default=1,
                         help="Number of epochs")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint (extension)")
     args = parser.parse_args()
 
     from tethys_tpu.parallel import mesh as mesh_lib
@@ -60,6 +62,7 @@ def main() -> None:
         learning_rate=args.learning_rate,
         mesh=mesh,
         compute_dtype=args.dtype,
+        resume=args.resume,
     )
     jct = time.time() - start
     print("Training completed.")

@@ -23,6 +23,8 @@ def main() -> None:
         description="Whisper-small Distributed Speech Recognition"
     )
     add_common_flags(parser, num_batches_default=40, batch_size_default=1)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint (extension)")
     args = parser.parse_args()
 
     from tethys_tpu.parallel import mesh as mesh_lib
@@ -47,6 +49,7 @@ def main() -> None:
         num_batches=args.num_batches,
         mesh=mesh,
         compute_dtype=args.dtype,
+        resume=args.resume,
     )
     jct = time.time() - start
     jobs.finalize_job(result, "whisper_small_model", jct)

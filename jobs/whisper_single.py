@@ -25,6 +25,8 @@ def main() -> None:
         description="wav2vec2 Single GPU Speech Recognition"
     )
     add_common_flags(parser, num_batches_default=40, batch_size_default=4)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint (extension)")
     args = parser.parse_args()
 
     from tethys_tpu.parallel import mesh as mesh_lib
@@ -47,6 +49,7 @@ def main() -> None:
         compute_dtype=args.dtype,
         audio_length=80000,  # 5 s clips (reference whisper_single.py:1102)
         real_ctc=True,       # base-only files carry the real CTC loss
+        resume=args.resume,
     )
     jct = time.time() - start
     print("Training completed.")

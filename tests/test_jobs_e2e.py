@@ -160,3 +160,22 @@ def test_wav2vec2_profiled_job_value_skews(tmp_path):
     assert "input/input_values" in skews
     assert any(k.startswith("output/") for k in skews)
     assert all(np.isfinite(v) for v in skews.values())
+
+
+def test_resume_flag_restores_latest(tmp_path, capsys):
+    """Train 2 steps, then rerun with resume=True — must load the epoch ckpt."""
+    mesh = make_data_mesh(2)
+    common = dict(
+        model_type="classification",
+        batch_size_per_replica=1,
+        num_batches=2,
+        mesh=mesh,
+        checkpoint_dir=str(tmp_path / "ck"),
+        audio_length=1600,
+        config_overrides=TINY_W2V2,
+    )
+    jobs.train_wav2vec2(**common)
+    capsys.readouterr()
+    jobs.train_wav2vec2(**common, resume=True)
+    out = capsys.readouterr().out
+    assert "Resumed from checkpoint model_epoch_1" in out

@@ -116,6 +116,7 @@ def train_whisper(
     loss_fn_wrapper: Optional[Callable] = None,
     config_overrides: Optional[dict] = None,
     profiler=None,
+    resume: bool = False,
 ):
     """End-to-end Whisper training job (reference train_whisper,
     speech_jobs/whisper_dist.py:894-958).  With `profiler` set, adds the
@@ -180,6 +181,15 @@ def train_whisper(
         global_batch, n_mels=config.n_mels, seq_len=data_seq_len
     )
     ckpt = CheckpointManager(checkpoint_dir) if checkpointing else None
+    if resume and ckpt is not None:
+        # Extension: the reference is write-only (SURVEY §5.4); restoring the
+        # latest tag makes the jobs preemption-resumable.
+        latest = ckpt.latest_tag()
+        if latest:
+            template = jax.device_get(state)
+            restored = ckpt.restore(latest, template)
+            state = dp.replicate_state(dp.TrainState(*restored), mesh)
+            print(f"Resumed from checkpoint {latest}")
     step_hooks, _bridge = _maybe_start_monitor_bridge(step_hooks)
 
     result = run_training(
@@ -214,6 +224,7 @@ def train_wav2vec2(
     config_overrides: Optional[dict] = None,
     profiler=None,
     profile_values: bool = True,
+    resume: bool = False,
 ):
     """End-to-end Wav2Vec2 training job (reference train_wav2vec2,
     speech_jobs/wav2vec2_dist.py:1263-1376).  With `profiler` set, adds the
@@ -321,6 +332,15 @@ def train_wav2vec2(
         global_batch, audio_length=audio_length
     )
     ckpt = CheckpointManager(checkpoint_dir) if checkpointing else None
+    if resume and ckpt is not None:
+        # Extension: the reference is write-only (SURVEY §5.4); restoring the
+        # latest tag makes the jobs preemption-resumable.
+        latest = ckpt.latest_tag()
+        if latest:
+            template = jax.device_get(state)
+            restored = ckpt.restore(latest, template)
+            state = dp.replicate_state(dp.TrainState(*restored), mesh)
+            print(f"Resumed from checkpoint {latest}")
     step_hooks, _bridge = _maybe_start_monitor_bridge(step_hooks)
 
     result = run_training(
