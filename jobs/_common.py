@@ -32,3 +32,7 @@ def add_common_flags(parser: argparse.ArgumentParser, num_batches_default: int,
         choices=["float32", "bfloat16"],
         help="compute dtype (params stay float32)",
     )
+    parser.add_argument(
+        "--jax_profile", type=str, default=None, metavar="DIR",
+        help="write a jax.profiler trace of the training run to DIR",
+    )

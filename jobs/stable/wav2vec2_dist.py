@@ -41,15 +41,18 @@ def main() -> None:
     artifacts.start_side_captures()
 
     start = time.time()
-    result, _model, _config = jobs.train_wav2vec2(
-        model_type="pretraining",
-        model_size="base",
-        batch_size_per_replica=args.batch_size,
-        num_batches=args.num_batches,
-        mesh=mesh,
-        compute_dtype=args.dtype,
-        real_ctc=True,
-    )
+    from tethys_tpu.utils.tracing import maybe_profiler_trace
+
+    with maybe_profiler_trace(getattr(args, 'jax_profile', None)):
+        result, _model, _config = jobs.train_wav2vec2(
+            model_type="pretraining",
+            model_size="base",
+            batch_size_per_replica=args.batch_size,
+            num_batches=args.num_batches,
+            mesh=mesh,
+            compute_dtype=args.dtype,
+            real_ctc=True,
+        )
     jct = time.time() - start
     jobs.finalize_job(result, "wav2vec2_base_model", jct)
 

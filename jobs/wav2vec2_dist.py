@@ -50,15 +50,18 @@ def main() -> None:
     artifacts.start_side_captures()
 
     start = time.time()
-    result, _model, _config = jobs.train_wav2vec2(
-        model_type="pretraining",
-        model_size=args.model_size,
-        batch_size_per_replica=args.batch_size,
-        num_batches=args.num_batches,
-        mesh=mesh,
-        compute_dtype=args.dtype,
-        resume=args.resume,
-    )
+    from tethys_tpu.utils.tracing import maybe_profiler_trace
+
+    with maybe_profiler_trace(getattr(args, 'jax_profile', None)):
+        result, _model, _config = jobs.train_wav2vec2(
+            model_type="pretraining",
+            model_size=args.model_size,
+            batch_size_per_replica=args.batch_size,
+            num_batches=args.num_batches,
+            mesh=mesh,
+            compute_dtype=args.dtype,
+            resume=args.resume,
+        )
     jct = time.time() - start
     jobs.finalize_job(result, f"wav2vec2_{args.model_size}_model", jct)
 

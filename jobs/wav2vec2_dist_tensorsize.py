@@ -63,15 +63,18 @@ def main() -> None:
     )
 
     start = time.time()
-    result, _model, _config = jobs.train_wav2vec2(
-        model_type="pretraining",
-        model_size=args.model_size,
-        batch_size_per_replica=args.batch_size,
-        num_batches=args.num_batches,
-        mesh=mesh,
-        compute_dtype=args.dtype,
-        profiler=profiler,
-    )
+    from tethys_tpu.utils.tracing import maybe_profiler_trace
+
+    with maybe_profiler_trace(getattr(args, 'jax_profile', None)):
+        result, _model, _config = jobs.train_wav2vec2(
+            model_type="pretraining",
+            model_size=args.model_size,
+            batch_size_per_replica=args.batch_size,
+            num_batches=args.num_batches,
+            mesh=mesh,
+            compute_dtype=args.dtype,
+            profiler=profiler,
+        )
     jct = time.time() - start
 
     summary = profiler.save_final_results()

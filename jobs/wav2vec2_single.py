@@ -53,17 +53,20 @@ def main() -> None:
     print(f"selected model type: {args.model_type}")
 
     start = time.time()
-    result, _model, _config = jobs.train_wav2vec2(
-        model_type=args.model_type,
-        model_size=args.model_size,
-        batch_size_per_replica=args.batch_size,
-        num_batches=args.num_batches,
-        num_epochs=args.num_epochs,
-        learning_rate=args.learning_rate,
-        mesh=mesh,
-        compute_dtype=args.dtype,
-        resume=args.resume,
-    )
+    from tethys_tpu.utils.tracing import maybe_profiler_trace
+
+    with maybe_profiler_trace(getattr(args, 'jax_profile', None)):
+        result, _model, _config = jobs.train_wav2vec2(
+            model_type=args.model_type,
+            model_size=args.model_size,
+            batch_size_per_replica=args.batch_size,
+            num_batches=args.num_batches,
+            num_epochs=args.num_epochs,
+            learning_rate=args.learning_rate,
+            mesh=mesh,
+            compute_dtype=args.dtype,
+            resume=args.resume,
+        )
     jct = time.time() - start
     print("Training completed.")
     print("JCT:", jct)

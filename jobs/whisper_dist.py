@@ -43,14 +43,17 @@ def main() -> None:
     artifacts.start_side_captures()
 
     start = time.time()
-    result, _model, _config = jobs.train_whisper(
-        model_type="small",
-        batch_size_per_replica=args.batch_size,
-        num_batches=args.num_batches,
-        mesh=mesh,
-        compute_dtype=args.dtype,
-        resume=args.resume,
-    )
+    from tethys_tpu.utils.tracing import maybe_profiler_trace
+
+    with maybe_profiler_trace(getattr(args, 'jax_profile', None)):
+        result, _model, _config = jobs.train_whisper(
+            model_type="small",
+            batch_size_per_replica=args.batch_size,
+            num_batches=args.num_batches,
+            mesh=mesh,
+            compute_dtype=args.dtype,
+            resume=args.resume,
+        )
     jct = time.time() - start
     jobs.finalize_job(result, "whisper_small_model", jct)
 

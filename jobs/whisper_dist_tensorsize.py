@@ -51,14 +51,17 @@ def main() -> None:
                               flavor="whisper")
 
     start = time.time()
-    result, _model, _config = jobs.train_whisper(
-        model_type="small",
-        batch_size_per_replica=args.batch_size,
-        num_batches=args.num_batches,
-        mesh=mesh,
-        compute_dtype=args.dtype,
-        profiler=profiler,
-    )
+    from tethys_tpu.utils.tracing import maybe_profiler_trace
+
+    with maybe_profiler_trace(getattr(args, 'jax_profile', None)):
+        result, _model, _config = jobs.train_whisper(
+            model_type="small",
+            batch_size_per_replica=args.batch_size,
+            num_batches=args.num_batches,
+            mesh=mesh,
+            compute_dtype=args.dtype,
+            profiler=profiler,
+        )
     jct = time.time() - start
 
     summary = profiler.save_final_results()

@@ -40,17 +40,20 @@ def main() -> None:
     artifacts.start_side_captures()
 
     start = time.time()
-    result, _model, _config = jobs.train_wav2vec2(
-        model_type="pretraining",
-        model_size="base",
-        batch_size_per_replica=args.batch_size,
-        num_batches=args.num_batches,
-        mesh=mesh,
-        compute_dtype=args.dtype,
-        audio_length=80000,  # 5 s clips (reference whisper_single.py:1102)
-        real_ctc=True,       # base-only files carry the real CTC loss
-        resume=args.resume,
-    )
+    from tethys_tpu.utils.tracing import maybe_profiler_trace
+
+    with maybe_profiler_trace(getattr(args, 'jax_profile', None)):
+        result, _model, _config = jobs.train_wav2vec2(
+            model_type="pretraining",
+            model_size="base",
+            batch_size_per_replica=args.batch_size,
+            num_batches=args.num_batches,
+            mesh=mesh,
+            compute_dtype=args.dtype,
+            audio_length=80000,  # 5 s clips (reference whisper_single.py:1102)
+            real_ctc=True,       # base-only files carry the real CTC loss
+            resume=args.resume,
+        )
     jct = time.time() - start
     print("Training completed.")
     print("jct:", jct)
