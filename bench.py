@@ -72,6 +72,7 @@ def _build_wav2vec2(args, jax, jnp, dp, host_cpu_context):
     with host_cpu_context():
         params = model.init(
             {"params": rng, "dropout": rng}, audio[:1, :2000], training=True,
+            deterministic=True,  # init may run on CPU; fused dropout is TPU-only
         )["params"]
     optimizer = dp.wav2vec2_optimizer(3e-5)
 

@@ -41,6 +41,7 @@ from tethys_tpu.ops.activations import gelu
 from tethys_tpu.ops.attention import multi_head_attention
 from tethys_tpu.ops.masks import padding_additive_mask
 from tethys_tpu.ops.norms import ReferenceGroupNorm
+from tethys_tpu.ops.pallas_dropout import module_dropout
 
 DenseInit = nn.initializers.glorot_uniform()
 
@@ -80,7 +81,7 @@ class Wav2Vec2FeatureExtractor(nn.Module):
         x = x + pos
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                          name="layer_norm")(x)
-        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        x = module_dropout(self, x, cfg.hidden_dropout, deterministic)
         return x
 
 
@@ -135,10 +136,10 @@ class Wav2Vec2FeedForward(nn.Module):
         x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                      kernel_init=DenseInit, name="intermediate_dense")(x)
         x = gelu(x)
-        x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
+        x = module_dropout(self, x, cfg.activation_dropout, deterministic)
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
                      kernel_init=DenseInit, name="output_dense")(x)
-        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        x = module_dropout(self, x, cfg.hidden_dropout, deterministic)
         return x
 
 
@@ -155,16 +156,16 @@ class Wav2Vec2EncoderLayer(nn.Module):
         ff = Wav2Vec2FeedForward(cfg, name="feed_forward")
         ff_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                              name="feed_forward_layer_norm")
-        dropout = nn.Dropout(cfg.hidden_dropout)
 
         if cfg.do_stable_layer_norm:
             # Pre-LN residual blocks.
             a = attn(attn_ln(x), attention_mask, deterministic=deterministic)
-            x = x + dropout(a, deterministic=deterministic)
+            x = x + module_dropout(self, a, cfg.hidden_dropout, deterministic)
             x = x + ff(ff_ln(x), deterministic=deterministic)
         else:
             a = attn(x, attention_mask, deterministic=deterministic)
-            x = attn_ln(x + dropout(a, deterministic=deterministic))
+            x = attn_ln(
+                x + module_dropout(self, a, cfg.hidden_dropout, deterministic))
             x = ff_ln(x + ff(x, deterministic=deterministic))
         return x
 
@@ -210,7 +211,7 @@ class Wav2Vec2ProjectionHead(nn.Module):
                      kernel_init=DenseInit, name="projection_head")(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                          name="layer_norm")(x)
-        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        x = module_dropout(self, x, cfg.hidden_dropout, deterministic)
         return x
 
 

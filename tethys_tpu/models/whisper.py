@@ -36,6 +36,7 @@ from tethys_tpu.configs import WhisperConfig
 from tethys_tpu.losses import seq2seq_shifted_ce
 from tethys_tpu.ops.activations import gelu
 from tethys_tpu.ops.attention import multi_head_attention
+from tethys_tpu.ops.pallas_dropout import module_dropout
 from tethys_tpu.ops.masks import NEG_INF, causal_additive_mask
 from tethys_tpu.ops.posenc import sinusoidal_table
 
@@ -130,9 +131,9 @@ class WhisperFeedForward(nn.Module):
         cfg = self.config
         x = nn.Dense(cfg.d_ff, dtype=cfg.dtype, kernel_init=DenseInit, name="fc1")(x)
         x = gelu(x)
-        x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
+        x = module_dropout(self, x, cfg.activation_dropout, deterministic)
         x = nn.Dense(cfg.d_model, dtype=cfg.dtype, kernel_init=DenseInit, name="fc2")(x)
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = module_dropout(self, x, cfg.dropout, deterministic)
         return x
 
 
@@ -218,7 +219,7 @@ class WhisperEncoder(nn.Module):
 
         pe = jnp.asarray(sinusoidal_table(cfg.n_ctx, cfg.d_model))
         x = x + pe[None, : x.shape[1], :].astype(cfg.dtype)
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = module_dropout(self, x, cfg.dropout, deterministic)
 
         for i in range(cfg.encoder_layers):
             x = WhisperEncoderLayer(cfg, name=f"layers_{i}")(
@@ -254,7 +255,7 @@ class WhisperDecoder(nn.Module):
             pos = jax.lax.dynamic_slice_in_dim(pe, cache_index, x.shape[1], axis=0)
             x = x + pos[None].astype(cfg.dtype)
             self_bias = None  # the cache path masks future positions itself
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = module_dropout(self, x, cfg.dropout, deterministic)
 
         new_caches = []
         for i in range(cfg.decoder_layers):

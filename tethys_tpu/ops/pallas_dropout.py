@@ -1,0 +1,108 @@
+"""Fused dropout on the TPU hardware PRNG.
+
+XLA lowers `jax.random.bernoulli` + `where` to a threefry keystream plus a
+materialized mask — measured at ~20% of the wav2vec2 train step across the
+~30 hidden-state dropouts.  This kernel draws bits from the on-core PRNG and
+applies the mask in one pass; the backward regenerates the identical mask
+from the (seed, block) coordinates instead of storing it (same trick as the
+flash-attention kernel).
+
+Semantics match tf/keras & flax dropout: P(drop) = rate, survivors scaled by
+1/(1-rate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_ROWS = 512
+LANES = 128
+_INTERPRET = False
+
+
+def _kernel(seed_ref, x_ref, o_ref, *, rate: float):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * 1000003)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
+    threshold = np.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
+    keep = bits >= threshold
+    scale = 1.0 / (1.0 - rate)
+    o_ref[:] = jnp.where(keep, x_ref[:] * scale, 0.0).astype(o_ref.dtype)
+
+
+def _run(x2d, seed_arr, rate):
+    kernel = functools.partial(_kernel, rate=rate)
+    grid = (x2d.shape[0] // BLOCK_ROWS,)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_: (i, 0))],
+            out_specs=pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        interpret=_INTERPRET,
+    )(seed_arr, x2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dropout2d(x2d, seed_arr, rate: float):
+    return _run(x2d, seed_arr, rate)
+
+
+def _fwd(x2d, seed_arr, rate):
+    return _run(x2d, seed_arr, rate), seed_arr
+
+
+def _bwd(rate, seed_arr, g):
+    # identical mask (same seed, same block partition — shapes are static)
+    return _run(g, seed_arr, rate), np.zeros(seed_arr.shape,
+                                             dtype=jax.dtypes.float0)
+
+
+_dropout2d.defvjp(_fwd, _bwd)
+
+
+def fused_dropout(x: jax.Array, rate: float, seed) -> jax.Array:
+    """Dropout over an arbitrarily-shaped array (TPU PRNG, mask regenerated
+    in backward).  `seed`: python int or traced int32 scalar."""
+    if rate <= 0.0:
+        return x
+    orig_shape = x.shape
+    n = int(np.prod(orig_shape))
+    cols = LANES
+    rows = -(-n // cols)
+    rows_pad = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
+    flat = jnp.pad(x.reshape(-1), (0, rows_pad * cols - n))
+    x2d = flat.reshape(rows_pad, cols)
+    seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    out = _dropout2d(x2d, seed_arr, float(rate))
+    return out.reshape(-1)[:n].reshape(orig_shape)
+
+
+def module_dropout(module, x: jax.Array, rate: float,
+                   deterministic: bool) -> jax.Array:
+    """flax-friendly dropout: fused TPU kernel when available, nn.Dropout
+    fallback elsewhere (CPU tests).  Call from inside a module body."""
+    if deterministic or rate <= 0.0:
+        return x
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+    if on_tpu and x.size >= 1 << 14:
+        rng = module.make_rng("dropout")
+        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        return fused_dropout(x, rate, seed)
+    import flax.linen as nn
+
+    return nn.Dropout(rate)(x, deterministic=False,
+                            rng=module.make_rng("dropout"))

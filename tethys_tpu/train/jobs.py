@@ -36,7 +36,9 @@ def _init_whisper(model, config, rng):
 
 def _init_wav2vec2(model, config, rng, model_kind: str):
     audio = jnp.zeros((1, 2000), dtype=jnp.float32)
-    kwargs = {"training": True}
+    # deterministic=True: init may run on host CPU where the fused dropout
+    # kernel cannot lower; dropout plays no role in shape/param creation.
+    kwargs = {"training": True, "deterministic": True}
     if model_kind in ("asr", "classification"):
         labels = (
             jnp.zeros((1, 4), dtype=jnp.int32)
