@@ -37,7 +37,7 @@ def main() -> None:
     print(f"batch size: {args.batch_size}")
     print(f"num_batches: {args.num_batches}")
     print("Wav2Vec2 single-device training starting...")
-    artifacts.start_side_captures()
+    artifacts.start_side_captures()  # gpu.sh-equivalent chip-monitor capture
 
     start = time.time()
     from tethys_tpu.utils.tracing import maybe_profiler_trace

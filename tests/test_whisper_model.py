@@ -133,3 +133,16 @@ def test_size_presets():
     assert (cfg_small.d_model, cfg_small.encoder_layers) == (768, 4)
     _, cfg_large = create_whisper_model("large")
     assert (cfg_large.d_model, cfg_large.encoder_layers) == (1280, 32)
+
+
+def test_prepare_inputs_for_generation(tiny_setup):
+    model, config, params, features, labels = tiny_setup
+    ids = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
+    out = model.apply({"params": params}, ids, past_key_values="sentinel",
+                      method=model.prepare_inputs_for_generation)
+    np.testing.assert_array_equal(np.asarray(out["decoder_input_ids"]),
+                                  [[3]])  # last token only when cache present
+    out2 = model.apply({"params": params}, ids,
+                       method=model.prepare_inputs_for_generation)
+    np.testing.assert_array_equal(np.asarray(out2["decoder_input_ids"]),
+                                  np.asarray(ids))

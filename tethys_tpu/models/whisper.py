@@ -359,6 +359,24 @@ class WhisperForConditionalGeneration(nn.Module):
 
     # --- generation helpers (used by greedy_generate below) ---
 
+    def prepare_inputs_for_generation(self, decoder_input_ids,
+                                      past_key_values=None,
+                                      attention_mask=None, use_cache=None,
+                                      encoder_outputs=None, **kwargs):
+        """Decode-step input builder, API parity with the reference helper
+        (speech_jobs/whisper_dist.py:618-634 — defined there but never called,
+        SURVEY quirk #5; here greedy_generate's cached loop embodies the same
+        last-token-only policy)."""
+        if past_key_values is not None:
+            decoder_input_ids = decoder_input_ids[:, -1:]
+        return {
+            "decoder_input_ids": decoder_input_ids,
+            "past_key_values": past_key_values,
+            "encoder_outputs": encoder_outputs,
+            "attention_mask": attention_mask,
+            "use_cache": use_cache,
+        }
+
     def encode(self, input_features: jax.Array) -> jax.Array:
         return self.model.encoder(input_features, deterministic=True)
 
