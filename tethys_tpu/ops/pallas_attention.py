@@ -23,8 +23,9 @@ Backward uses the standard flash decomposition
 with P = exp(s - L) recomputed blockwise and M regenerated from the seed.
 
 Constraints: head_dim <= 128 (all Whisper/Wav2Vec2 sizes use 64), no
-attention bias (used for encoder self-attention; the short decoder/causal
-paths stay on XLA), sequence padded to the 128-lane block size with zero-q /
+attention bias — used for encoder self-attention AND decoder cross-attention
+(short queries over long KV); only the short causal decoder self-attention
+stays on XLA.  Sequences are padded to the 128-lane block size with zero-q /
 masked-k handling.
 """
 
