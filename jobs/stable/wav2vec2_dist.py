@@ -52,6 +52,7 @@ def main() -> None:
             mesh=mesh,
             compute_dtype=args.dtype,
             real_ctc=True,
+            collective_report=True,
         )
     jct = time.time() - start
     jobs.finalize_job(result, "wav2vec2_base_model", jct)

@@ -61,6 +61,7 @@ def main() -> None:
             mesh=mesh,
             compute_dtype=args.dtype,
             resume=args.resume,
+            collective_report=True,
         )
     jct = time.time() - start
     jobs.finalize_job(result, f"wav2vec2_{args.model_size}_model", jct)

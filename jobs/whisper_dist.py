@@ -53,6 +53,7 @@ def main() -> None:
             mesh=mesh,
             compute_dtype=args.dtype,
             resume=args.resume,
+            collective_report=True,
         )
     jct = time.time() - start
     jobs.finalize_job(result, "whisper_small_model", jct)

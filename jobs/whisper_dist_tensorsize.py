@@ -61,6 +61,7 @@ def main() -> None:
             mesh=mesh,
             compute_dtype=args.dtype,
             profiler=profiler,
+            collective_report=True,
         )
     jct = time.time() - start
 

@@ -51,7 +51,6 @@ def main() -> None:
             mesh=mesh,
             compute_dtype=args.dtype,
             audio_length=80000,  # 5 s clips (reference whisper_single.py:1102)
-            real_ctc=True,       # base-only files carry the real CTC loss
             resume=args.resume,
         )
     jct = time.time() - start

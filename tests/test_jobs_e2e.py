@@ -162,6 +162,36 @@ def test_wav2vec2_profiled_job_value_skews(tmp_path):
     assert all(np.isfinite(v) for v in skews.values())
 
 
+def test_collective_report_written(tmp_path):
+    """Dist jobs write <task>_<idx>_collectives.txt with nonzero all-reduce
+    bytes (the analytic ICI equivalent of reference network.sh:1-9)."""
+    ws = os.environ["TETHYS_WORKSPACE"]
+    res = os.environ["TETHYS_RESULT"]
+    with open(os.path.join(ws, "model.txt"), "w") as f:
+        f.write("whisper-coll\n")
+    out_dir = os.path.join(res, "whisper-coll")
+    os.makedirs(out_dir, exist_ok=True)
+    mesh = make_data_mesh(8)
+    jobs.train_whisper(
+        model_type="small",
+        batch_size_per_replica=1,
+        num_batches=1,
+        mesh=mesh,
+        checkpointing=False,
+        data_seq_len=128,
+        config_overrides=TINY_WHISPER,
+        collective_report=True,
+    )
+    path = os.path.join(out_dir, "worker_0_collectives.txt")
+    assert os.path.exists(path)
+    lines = open(path).read().splitlines()
+    ar = [ln for ln in lines if ln.startswith("all-reduce,")]
+    assert ar, lines
+    assert int(ar[0].split(",")[1]) > 0
+    total = [ln for ln in lines if ln.startswith("total,")]
+    assert total and int(total[0].split(",")[1]) > 0
+
+
 def test_resume_flag_restores_latest(tmp_path, capsys):
     """Train 2 steps, then rerun with resume=True — must load the epoch ckpt."""
     mesh = make_data_mesh(2)

@@ -39,10 +39,17 @@ class CheckpointManager:
     def restore(self, tag: str, template: Any) -> Any:
         return self._ckptr.restore(self._path(tag), target=template)
 
-    def latest_tag(self) -> Optional[str]:
+    def latest_tag(self, prefix: Optional[str] = None) -> Optional[str]:
+        """Newest checkpoint tag, optionally scoped to a tag prefix.
+
+        Jobs share the default checkpoint directory, so an unscoped lookup
+        could hand a whisper `--resume` a wav2vec2 pytree; callers pass their
+        own tag prefix to only ever restore their own state.
+        """
         tags = [
             d for d in os.listdir(self.directory)
             if os.path.isdir(os.path.join(self.directory, d))
+            and (prefix is None or d.startswith(prefix))
         ]
         if not tags:
             return None

@@ -148,8 +148,22 @@ def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a global numpy batch sharded along its leading axis."""
+    """Place a batch sharded along its leading axis.
+
+    Single-process: `batch` is the global batch; device_put scatters it over
+    the mesh.  Multi-process (jax.distributed initialized): each process
+    passes its *local* portion (per-replica batch × local replica count) and
+    the global array is assembled across processes — the analogue of the
+    reference's `strategy.experimental_distribute_dataset` split
+    (speech_jobs/whisper_dist.py:914).
+    """
+    multiprocess = jax.process_count() > 1
+
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+        sharding = jax.sharding.NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
     return jax.tree_util.tree_map(put, batch)

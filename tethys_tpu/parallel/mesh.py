@@ -73,6 +73,19 @@ def cluster_spec_from_tf_config(tf_config: dict) -> Optional[Tuple[str, int, int
     return hosts[0], len(hosts), offset + task_index
 
 
+def _distributed_client_up() -> bool:
+    """Whether jax.distributed.initialize already ran — probed WITHOUT any
+    call that would initialize the XLA backend (calling e.g.
+    `jax.process_count()` here would poison the subsequent real
+    `jax.distributed.initialize`, which must precede backend init)."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
+
+
 def initialize_distributed(timeout_s: int = 120) -> None:
     """Initialize the JAX multi-process runtime when a cluster spec exists.
 
@@ -81,8 +94,11 @@ def initialize_distributed(timeout_s: int = 120) -> None:
     relies on (README.md:43-45: dist scripts run locally without TF_CONFIG).
     The timeout mirrors the reference's 120 s collective-op hardening
     (wav2vec2_dist.py:1463-1471).
+
+    Must be called before any JAX operation that initializes the XLA backend;
+    the already-initialized probe deliberately avoids `jax.process_count()`.
     """
-    if jax.process_count() > 1:  # already initialized
+    if _distributed_client_up():
         return
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord:
@@ -106,9 +122,19 @@ def initialize_distributed(timeout_s: int = 120) -> None:
 
 
 def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over (up to) all devices with a single 'data' axis."""
+    """1-D mesh over (up to) all devices with a single 'data' axis.
+
+    Raises when fewer than `num_devices` devices exist — a silently degraded
+    mesh would make a "multi-chip" run single-chip without anyone noticing.
+    """
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"(platform={devices[0].platform if devices else 'none'})"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), ("data",))
 

@@ -30,6 +30,13 @@ _COLLECTIVES = (
     "all-to-all",
 )
 
+# Matches the op application `<op>[-start|-done][.N](` in an HLO rhs; a `%`
+# before the name (an operand reference like `(%all-reduce.1)`) never matches
+# because the operand is followed by `)`/`,`, not `(`.
+_OP_RE = re.compile(
+    r"\b(" + "|".join(_COLLECTIVES) + r")(-start|-done)?(?:\.\d+)?\("
+)
+
 _SHAPE_RE = re.compile(r"\b([a-z0-9]+)\[([0-9,]*)\]")
 
 
@@ -51,23 +58,24 @@ def collective_traffic_report(hlo_text: str) -> Dict[str, Any]:
     ops = []
     for line in hlo_text.splitlines():
         stripped = line.strip()
-        if stripped.startswith("%") or stripped.startswith("ROOT"):
-            body = stripped.split(" = ", 1)
-            if len(body) != 2:
-                continue
-            rhs = body[1]
-            op = next(
-                (c for c in _COLLECTIVES
-                 if re.match(rf"^\(?[a-z0-9\[\],{{}}:#\s()]*{c}\(", rhs)
-                 or rhs.split("(")[0].strip().split(" ")[-1].startswith(c)),
-                None,
-            )
-            if op is None:
-                continue
-            # result shape text is everything before the op name
-            result_text = rhs.split(op)[0]
-            nbytes = _shape_bytes(result_text)
-            ops.append({"op": op, "bytes": nbytes, "hlo": stripped[:160]})
+        if not (stripped.startswith("%") or stripped.startswith("ROOT")):
+            continue
+        body = stripped.split(" = ", 1)
+        if len(body) != 2:
+            continue
+        rhs = body[1]
+        m = _OP_RE.search(rhs)
+        if m is None:
+            continue
+        op, suffix = m.group(1), m.group(2) or ""
+        if suffix == "-done":
+            continue  # payload already counted at the -start op
+        # Result shape text: everything between " = " and the op name
+        # (handles tuples with layout annotations and /*index=N*/ comments).
+        nbytes = _shape_bytes(rhs[: m.start()])
+        if suffix == "-start":
+            nbytes //= 2  # async start tuples alias operand + result
+        ops.append({"op": op, "bytes": nbytes, "hlo": stripped[:160]})
     by_kind: Dict[str, int] = {}
     for o in ops:
         by_kind[o["op"]] = by_kind.get(o["op"], 0) + o["bytes"]

@@ -75,6 +75,38 @@ def _maybe_start_monitor_bridge(step_hooks: tuple):
         return step_hooks, None
 
 
+def _emit_collective_report(step_fn, state, batch_avals, rng) -> None:
+    """AOT-compile the train step once and write the analytic ICI
+    collective-byte accounting (`<task>_<idx>_collectives.txt`, next to the
+    JCT file).
+
+    TPU-native replacement for the reference's tcpdump capture
+    (reference network.sh:1-9): the gradient all-reduce rides ICI, invisible
+    to the host NIC, so bytes are summed from the compiled HLO instead.  The
+    AOT compile shares the persistent compile cache with the first real step,
+    so steady-state cost is one compile either way.
+    """
+    try:
+        from tethys_tpu.parallel.mesh import job_identity
+        from tethys_tpu.profiling.hlo_comm import write_collective_report
+
+        hlo = step_fn.lower(state, batch_avals, rng).compile().as_text()
+        task_type, task_index = job_identity()
+        path = write_collective_report(hlo, task_type, task_index)
+        if path:
+            print(f"collective report: {path}")
+    except Exception as e:  # noqa: BLE001 — observability must not kill jobs
+        print(f"collective report failed: {e}")
+
+
+def _batch_aval(shape, dtype, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P("data", *([None] * (len(shape) - 1)))
+    return jax.ShapeDtypeStruct(shape, dtype,
+                                sharding=NamedSharding(mesh, spec))
+
+
 def _profiler_hooks(profiler, static_inventories, flavor: str):
     """Build the per-step hook that drives the TensorProfiler.
 
@@ -119,6 +151,7 @@ def train_whisper(
     config_overrides: Optional[dict] = None,
     profiler=None,
     resume: bool = False,
+    collective_report: bool = False,
 ):
     """End-to-end Whisper training job (reference train_whisper,
     speech_jobs/whisper_dist.py:894-958).  With `profiler` set, adds the
@@ -126,8 +159,9 @@ def train_whisper(
     activation census via capture_intermediates, gradient/parameter sizes,
     memory sampling)."""
     mesh = mesh or mesh_lib.make_data_mesh()
-    n_replicas = mesh_lib.num_replicas(mesh)
-    global_batch = batch_size_per_replica * n_replicas
+    # Multi-process: each process feeds only its local shard of the global
+    # batch (dp.shard_batch assembles the global array across processes).
+    data_batch = batch_size_per_replica * max(len(mesh.local_devices), 1)
 
     model, config = whisper_lib.create_whisper_model(
         model_type, compute_dtype=compute_dtype, **(config_overrides or {})
@@ -179,14 +213,24 @@ def train_whisper(
         )
 
     step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
+    if collective_report:
+        gbatch = batch_size_per_replica * mesh_lib.num_replicas(mesh)
+        _emit_collective_report(
+            step_fn, state,
+            (_batch_aval((gbatch, config.n_mels, data_seq_len),
+                         jnp.float32, mesh),
+             _batch_aval((gbatch, 100), jnp.int32, mesh)),
+            rng,
+        )
     dataset = data_lib.create_whisper_dummy_dataset(
-        global_batch, n_mels=config.n_mels, seq_len=data_seq_len
+        data_batch, n_mels=config.n_mels, seq_len=data_seq_len
     )
     ckpt = CheckpointManager(checkpoint_dir) if checkpointing else None
     if resume and ckpt is not None:
         # Extension: the reference is write-only (SURVEY §5.4); restoring the
-        # latest tag makes the jobs preemption-resumable.
-        latest = ckpt.latest_tag()
+        # latest tag makes the jobs preemption-resumable.  Scoped to this
+        # job's tag prefix so a foreign job's pytree is never restored.
+        latest = ckpt.latest_tag(prefix=f"whisper_{model_type}")
         if latest:
             template = jax.device_get(state)
             restored = ckpt.restore(latest, template)
@@ -227,14 +271,15 @@ def train_wav2vec2(
     profiler=None,
     profile_values: bool = True,
     resume: bool = False,
+    collective_report: bool = False,
 ):
     """End-to-end Wav2Vec2 training job (reference train_wav2vec2,
     speech_jobs/wav2vec2_dist.py:1263-1376).  With `profiler` set, adds the
     tensorsize + in-graph per-value skewness instrumentation of
     wav2vec2_dist_tensorsize.py."""
     mesh = mesh or mesh_lib.make_data_mesh()
-    n_replicas = mesh_lib.num_replicas(mesh)
-    global_batch = batch_size_per_replica * n_replicas
+    # Each process feeds its local shard; global batch = per-replica × n.
+    data_batch = batch_size_per_replica * max(len(mesh.local_devices), 1)
 
     model, config = wav2vec2_lib.create_full_model(
         model_type, model_size, real_ctc=real_ctc, compute_dtype=compute_dtype,
@@ -330,14 +375,22 @@ def train_wav2vec2(
         loss_fn, optimizer, mesh, hardened=True,
         return_aux=return_aux, grad_aux_fn=grad_aux_fn,
     )
+    if collective_report:
+        gbatch = batch_size_per_replica * mesh_lib.num_replicas(mesh)
+        _emit_collective_report(
+            step_fn, state,
+            (_batch_aval((gbatch, audio_length), jnp.float32, mesh),
+             _batch_aval((gbatch,), jnp.float32, mesh)),
+            rng,
+        )
     dataset = data_lib.create_wav2vec2_dummy_dataset(
-        global_batch, audio_length=audio_length
+        data_batch, audio_length=audio_length
     )
     ckpt = CheckpointManager(checkpoint_dir) if checkpointing else None
     if resume and ckpt is not None:
         # Extension: the reference is write-only (SURVEY §5.4); restoring the
         # latest tag makes the jobs preemption-resumable.
-        latest = ckpt.latest_tag()
+        latest = ckpt.latest_tag(prefix="model")
         if latest:
             template = jax.device_get(state)
             restored = ckpt.restore(latest, template)
