@@ -1,6 +1,8 @@
-"""Headline benchmark: Whisper-base training throughput on one chip.
+"""Headline benchmark: training throughput on one chip, both model families.
 
-Prints ONE JSON line:
+With no arguments, prints one JSON line per family — Wav2Vec2-base
+contrastive pretraining (2 s clips, batch 32) first, then the headline
+Whisper-base line LAST (the driver parses the tail):
   {"metric": "whisper_base_audio_sec_per_sec_per_chip", "value": N,
    "unit": "audio-sec/sec/chip", "vs_baseline": N, ...}
 
@@ -9,8 +11,7 @@ step time of the full jitted train step (fwd + bwd + Adam), per chip.
 `vs_baseline` compares against `bench_baseline.json` at the repo root (the
 recorded reference-class number); 1.0 when no baseline is recorded yet.
 
-`--family wav2vec2` benches Wav2Vec2-base contrastive pretraining (2 s clips)
-instead; the driver's default run keeps the Whisper-base headline metric.
+`--family whisper|wav2vec2` benches a single family.
 """
 
 from __future__ import annotations
@@ -94,41 +95,23 @@ def _build_wav2vec2(args, jax, jnp, dp, host_cpu_context):
             audio_seconds, True, f"wav2vec2_{args.model}")
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch_size", type=int, default=16)
-    parser.add_argument("--steps", type=int, default=20)
-    parser.add_argument("--warmup", type=int, default=3)
-    parser.add_argument("--dtype", type=str, default="bfloat16",
-                        choices=["float32", "bfloat16"])
-    parser.add_argument("--model", type=str, default="base")
-    parser.add_argument("--family", type=str, default="whisper",
-                        choices=["whisper", "wav2vec2"])
-    args = parser.parse_args()
+_FAMILY_DEFAULT_BATCH = {"whisper": 16, "wav2vec2": 32}
 
-    from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
 
-    enable_host_cpu()
-
+def _run_family(args, family: str) -> None:
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: TPU compiles of whisper-base are minutes-slow
-    # and highly variable; cache them across bench invocations.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001 — cache is an optimization only
-        pass
-
     from tethys_tpu.parallel import dp
     from tethys_tpu.parallel.mesh import make_data_mesh
+    from tethys_tpu.utils.device import host_cpu_context
+
+    if args.batch_size is None:
+        args = argparse.Namespace(**vars(args))
+        args.batch_size = _FAMILY_DEFAULT_BATCH[family]
 
     mesh = make_data_mesh(1)
-    builder = _build_whisper if args.family == "whisper" else _build_wav2vec2
+    builder = _build_whisper if family == "whisper" else _build_wav2vec2
     (params, optimizer, loss_fn, host_batch, probe, audio_seconds, hardened,
      model_tag) = builder(args, jax, jnp, dp, host_cpu_context)
 
@@ -176,7 +159,44 @@ def main() -> None:
         "dtype": args.dtype,
         "loss": round(float(jax.device_get(loss)), 4),
         "backend": jax.default_backend(),
-    }))
+    }), flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="default: 16 (whisper) / 32 (wav2vec2)")
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--model", type=str, default="base")
+    parser.add_argument("--family", type=str, default="both",
+                        choices=["both", "whisper", "wav2vec2"])
+    args = parser.parse_args()
+
+    from tethys_tpu.utils.device import enable_host_cpu
+
+    enable_host_cpu()
+
+    import jax
+
+    # Persistent compile cache: TPU compiles of whisper-base are minutes-slow
+    # and highly variable; cache them across bench invocations.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+    # Whisper LAST: it is the headline metric and the driver parses the tail.
+    families = (["wav2vec2", "whisper"] if args.family == "both"
+                else [args.family])
+    for family in families:
+        _run_family(args, family)
 
 
 if __name__ == "__main__":

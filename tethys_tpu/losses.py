@@ -76,21 +76,31 @@ def contrastive_loss(
     rng: jax.Array,
     num_negatives: int = 100,
     temperature: float = 0.1,
+    negative_indices: Optional[jax.Array] = None,  # [B, K] override (parity)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (logits [B, T, 1+K], scalar mean CE vs label 0)."""
+    """Returns (logits [B, T, 1+K], scalar mean CE vs label 0).
+
+    `negative_indices` injects a fixed per-batch negative set (the sampler
+    tiles one set across time anyway); used by the TF-reference parity
+    harness to compare losses on matched negatives.
+    """
     h = hidden_states.astype(jnp.float32)
     q = quantized_states.astype(jnp.float32)
     b, t, _ = h.shape
 
     pos_logits = jnp.sum(h * q, axis=-1) / temperature  # [B, T]
     if num_negatives > 0:
-        neg_idx = sample_negative_indices(rng, b, t, num_negatives)  # [B,T,K]
+        if negative_indices is None:
+            neg_idx = sample_negative_indices(
+                rng, b, t, num_negatives)[:, 0, :]        # [B, K]
+        else:
+            neg_idx = negative_indices
         # The sampler tiles the same negative set across time (reference
         # semantics), so gather only [B, K, D] and take the dot products as
         # one MXU matmul instead of materializing the [B, T, K, D] broadcast
         # tensor the reference builds (330 MB at base/batch-32).
         neg_q = jnp.take_along_axis(
-            q, neg_idx[:, 0, :, None], axis=1)            # [B, K, D]
+            q, neg_idx[:, :, None], axis=1)               # [B, K, D]
         neg_logits = jnp.einsum(
             "btd,bkd->btk", h, neg_q,
             preferred_element_type=jnp.float32) / temperature

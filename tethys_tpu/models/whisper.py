@@ -35,8 +35,9 @@ import jax.numpy as jnp
 from tethys_tpu.configs import WhisperConfig
 from tethys_tpu.losses import seq2seq_shifted_ce
 from tethys_tpu.ops.activations import gelu
-from tethys_tpu.ops.attention import multi_head_attention
+from tethys_tpu.ops.attention import flash_active, multi_head_attention
 from tethys_tpu.ops.pallas_dropout import module_dropout
+from tethys_tpu.ops.pallas_transpose import merge_heads, split_heads
 from tethys_tpu.ops.masks import NEG_INF, causal_additive_mask
 from tethys_tpu.ops.posenc import sinusoidal_table
 
@@ -64,6 +65,7 @@ class WhisperAttention(nn.Module):
         cache: Optional[Cache] = None,            # self-attn KV cache buffers
         cache_index: Optional[jax.Array] = None,  # scalar write position
         deterministic: bool = True,
+        kv_len: Optional[int] = None,  # true KV length when inputs are padded
     ) -> Tuple[jax.Array, Optional[Cache]]:
         cfg = self.config
         d_model = cfg.d_model
@@ -77,16 +79,15 @@ class WhisperAttention(nn.Module):
             dense("q_proj"), dense("k_proj"), dense("v_proj"), dense("out_proj")
         )
 
-        def split_heads(x):
-            b, t, _ = x.shape
-            return x.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        def split(x):  # [B, T, H*d] -> [B, H, T, d], fast-transpose on TPU
+            return split_heads(x, self.num_heads)
 
         scaling = head_dim ** -0.5
-        query = split_heads(q_proj(hidden_states) * scaling)
+        query = split(q_proj(hidden_states) * scaling)
 
         kv_source = key_value_states if key_value_states is not None else hidden_states
-        key = split_heads(k_proj(kv_source))
-        value = split_heads(v_proj(kv_source))
+        key = split(k_proj(kv_source))
+        value = split(v_proj(kv_source))
 
         new_cache = None
         if cache is not None:
@@ -117,9 +118,9 @@ class WhisperAttention(nn.Module):
             dropout_rng=dropout_rng,
             deterministic=deterministic,
             use_flash=cfg.use_flash_attention,
+            kv_len=kv_len,
         )
-        b, _, tq, _ = attn.shape
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, tq, d_model)
+        attn = merge_heads(attn)  # [B, H, Tq, d] -> [B, Tq, H*d]
         return out_proj(attn), new_cache
 
 
@@ -141,14 +142,15 @@ class WhisperEncoderLayer(nn.Module):
     config: WhisperConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias=None, deterministic: bool = True):
+    def __call__(self, x: jax.Array, bias=None, deterministic: bool = True,
+                 kv_len: Optional[int] = None):
         cfg = self.config
         residual = x
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                          name="self_attn_layer_norm")(x)
         attn_out, _ = WhisperAttention(
             cfg, cfg.encoder_attention_heads, name="self_attn"
-        )(x, bias=bias, deterministic=deterministic)
+        )(x, bias=bias, deterministic=deterministic, kv_len=kv_len)
         x = residual + attn_out
 
         residual = x
@@ -173,6 +175,7 @@ class WhisperDecoderLayer(nn.Module):
         cache: Optional[Cache] = None,
         cache_index=None,
         deterministic: bool = True,
+        cross_kv_len: Optional[int] = None,
     ):
         cfg = self.config
         residual = x
@@ -190,7 +193,7 @@ class WhisperDecoderLayer(nn.Module):
         cross_out, _ = WhisperAttention(
             cfg, cfg.decoder_attention_heads, name="encoder_attn"
         )(x, key_value_states=encoder_hidden_states, bias=cross_attn_bias,
-          deterministic=deterministic)
+          deterministic=deterministic, kv_len=cross_kv_len)
         x = residual + cross_out
 
         residual = x
@@ -206,8 +209,17 @@ class WhisperEncoder(nn.Module):
     config: WhisperConfig
 
     @nn.compact
-    def __call__(self, input_features: jax.Array, deterministic: bool = True):
-        """input_features: [B, n_mels, T] log-mel frames (reference layout)."""
+    def __call__(self, input_features: jax.Array, deterministic: bool = True,
+                 keep_padded: bool = False):
+        """input_features: [B, n_mels, T] log-mel frames (reference layout).
+
+        On the flash-attention path the sequence is zero-padded ONCE here to
+        the kernel's block multiple (e.g. 1500 -> 1536) instead of padding
+        q/k/v at every pallas call (3 copies x layers x fwd/bwd in round 1);
+        padded key positions are masked via `kv_len`, and padded rows are
+        sliced off at the end (or kept for the decoder's cross-attention when
+        `keep_padded=True`, where the same masking applies).
+        """
         cfg = self.config
         x = input_features.transpose(0, 2, 1).astype(cfg.dtype)  # [B, T, n_mels]
         x = nn.Conv(cfg.d_model, kernel_size=(3,), strides=(1,), padding="SAME",
@@ -221,12 +233,24 @@ class WhisperEncoder(nn.Module):
         x = x + pe[None, : x.shape[1], :].astype(cfg.dtype)
         x = module_dropout(self, x, cfg.dropout, deterministic)
 
+        true_len = x.shape[1]
+        pad_len = true_len
+        if flash_active(cfg.use_flash_attention, true_len, true_len):
+            from tethys_tpu.ops.pallas_attention import padded_seq_len
+
+            pad_len = padded_seq_len(true_len)
+            if pad_len != true_len:
+                x = jnp.pad(x, ((0, 0), (0, pad_len - true_len), (0, 0)))
+        kv_len = true_len if pad_len != true_len else None
+
         for i in range(cfg.encoder_layers):
             x = WhisperEncoderLayer(cfg, name=f"layers_{i}")(
-                x, deterministic=deterministic
+                x, deterministic=deterministic, kv_len=kv_len
             )
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                          name="layer_norm")(x)
+        if pad_len != true_len and not keep_padded:
+            x = x[:, :true_len]
         return x
 
 
@@ -237,10 +261,11 @@ class WhisperDecoder(nn.Module):
     def __call__(
         self,
         input_ids: jax.Array,               # [B, T]
-        encoder_hidden_states: jax.Array,   # [B, Tenc, E]
+        encoder_hidden_states: jax.Array,   # [B, Tenc, E] (maybe padded)
         caches: Optional[Tuple[Cache, ...]] = None,
         cache_index=None,
         deterministic: bool = True,
+        cross_kv_len: Optional[int] = None,  # true encoder length when padded
     ):
         cfg = self.config
         embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype,
@@ -267,6 +292,7 @@ class WhisperDecoder(nn.Module):
                 cache=layer_cache,
                 cache_index=cache_index,
                 deterministic=deterministic,
+                cross_kv_len=cross_kv_len,
             )
             new_caches.append(new_cache)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
@@ -290,21 +316,33 @@ class WhisperModel(nn.Module):
         encoder_outputs: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> Dict[str, jax.Array]:
+        cross_kv_len = None
         if encoder_outputs is None:
+            # Keep the encoder's flash padding for cross-attention (masked
+            # via cross_kv_len); the returned tensor is sliced back so the
+            # public contract is unchanged (and the slice is dead code under
+            # grad when only the loss is consumed).
+            enc_true_len = -(-input_features.shape[-1] // 2)  # conv2 stride 2
             encoder_outputs = self.encoder(
-                input_features, deterministic=deterministic
+                input_features, deterministic=deterministic, keep_padded=True
             )
+            if encoder_outputs.shape[1] != enc_true_len:
+                cross_kv_len = enc_true_len
         if decoder_input_ids is None:
             batch = encoder_outputs.shape[0]
             decoder_input_ids = jnp.full(
                 (batch, 1), self.config.decoder_start_token_id, dtype=jnp.int32
             )
         hidden = self.decoder(
-            decoder_input_ids, encoder_outputs, deterministic=deterministic
+            decoder_input_ids, encoder_outputs, deterministic=deterministic,
+            cross_kv_len=cross_kv_len,
         )
         return {
             "last_hidden_state": hidden,
-            "encoder_last_hidden_state": encoder_outputs,
+            "encoder_last_hidden_state": (
+                encoder_outputs[:, :cross_kv_len]
+                if cross_kv_len is not None else encoder_outputs
+            ),
         }
 
 

@@ -25,10 +25,17 @@ _FLASH_MIN_SEQ = 512
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover - backend probing should not fail
-        return False
+    from tethys_tpu.utils.device import target_platform
+
+    return target_platform() == "tpu"
+
+
+def flash_active(use_flash: bool, tq: int, tk: int) -> bool:
+    """Whether multi_head_attention will take the pallas flash path for
+    these sequence lengths (used by callers to pre-pad once per pass)."""
+    return use_flash and _on_tpu() and (
+        tq >= _FLASH_MIN_SEQ or tk >= _FLASH_MIN_SEQ
+    )
 
 
 def multi_head_attention(
@@ -40,12 +47,10 @@ def multi_head_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     use_flash: bool = False,
+    kv_len: Optional[int] = None,  # true KV length when key/value are padded
 ) -> jax.Array:
     """Returns [B, H, Tq, D] attention output."""
-    long_enough = (
-        query.shape[2] >= _FLASH_MIN_SEQ or key.shape[2] >= _FLASH_MIN_SEQ
-    )  # cross-attention with short queries over long KV also wins
-    if use_flash and _on_tpu() and long_enough:
+    if flash_active(use_flash, query.shape[2], key.shape[2]):
         from tethys_tpu.ops import pallas_attention
 
         if pallas_attention.supported(query, key, value, bias):
@@ -59,20 +64,25 @@ def multi_head_attention(
                 rate, seed = 0.0, 0
             return pallas_attention.flash_attention(
                 query, key, value, bias, dropout_rate=rate, seed=seed,
+                kv_len=kv_len,
             )
     return _xla_attention(
-        query, key, value, bias, dropout_rate, dropout_rng, deterministic
+        query, key, value, bias, dropout_rate, dropout_rng, deterministic,
+        kv_len,
     )
 
 
 def _xla_attention(query, key, value, bias, dropout_rate, dropout_rng,
-                   deterministic):
+                   deterministic, kv_len=None):
     out_dtype = query.dtype
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", query, key, preferred_element_type=jnp.float32
     )
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
+    if kv_len is not None and kv_len < key.shape[2]:
+        col = jnp.arange(key.shape[2])
+        scores = jnp.where(col[None, None, None, :] < kv_len, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     if not deterministic and dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)

@@ -220,7 +220,12 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc_ref, dv_acc_ref, *, kv_len: int,
-                    num_q_blocks: int, dropout_rate: float, block_k: int):
+                    num_q_blocks: int, dropout_rate: float, block_k: int,
+                    dq_ref=None):
+    """dk/dv backward; when `dq_ref` is given (single-KV-block case) also
+    emits dq = ds @ k per q block — one extra MXU matmul instead of a whole
+    second kernel re-deriving s, p and dp (the dq pass was ~1.8 ms/layer of
+    mostly-VPU recompute on whisper-base; this fusion removes it)."""
     b = pl.program_id(0)
     j = pl.program_id(1)              # k block
     i = pl.program_id(2)              # q block (inner)
@@ -265,10 +270,23 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
+    if dq_ref is not None:            # num_k == 1: dq is exact per q block
+        dq_ref[0] = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
     @pl.when(i == num_q_blocks - 1)
     def _():
         dk_ref[0] = dk_acc_ref[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc_ref[:].astype(dv_ref.dtype)
+
+
+def _bwd_dkv_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, dq_ref, dk_acc_ref,
+                       dv_acc_ref, **kw):
+    _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc_ref, dv_acc_ref, dq_ref=dq_ref,
+                    **kw)
 
 
 def _flash_bwd(q, k, v, o, lse, do, seed, dropout_rate: float, kv_len: int):
@@ -281,6 +299,45 @@ def _flash_bwd(q, k, v, o, lse, do, seed, dropout_rate: float, kv_len: int):
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1)          # [BH, TQ]
     delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, tq))
+
+    if num_k == 1:
+        # Single KV block (all sequence lengths this framework meets):
+        # each (b, j=0, i) program sees the FULL ds tile for q block i, so
+        # dq falls out exactly — no separate dq pass (see kernel docstring).
+        fused_kernel = functools.partial(
+            _bwd_dkv_dq_kernel, kv_len=kv_len, num_q_blocks=num_q,
+            dropout_rate=dropout_rate, block_k=BLOCK_K)
+        dk, dv, dq = pl.pallas_call(
+            fused_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bh, num_k, num_q),
+                in_specs=[
+                    pl.BlockSpec((1, BLOCK_Q, d), lambda b, j, i, *_: (b, i, 0)),
+                    pl.BlockSpec((1, BLOCK_K, d), lambda b, j, i, *_: (b, j, 0)),
+                    pl.BlockSpec((1, BLOCK_K, d), lambda b, j, i, *_: (b, j, 0)),
+                    pl.BlockSpec((1, BLOCK_Q, d), lambda b, j, i, *_: (b, i, 0)),
+                    pl.BlockSpec((1, 8, BLOCK_Q), lambda b, j, i, *_: (b, 0, i)),
+                    pl.BlockSpec((1, 8, BLOCK_Q), lambda b, j, i, *_: (b, 0, i)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, BLOCK_K, d), lambda b, j, i, *_: (b, j, 0)),
+                    pl.BlockSpec((1, BLOCK_K, d), lambda b, j, i, *_: (b, j, 0)),
+                    pl.BlockSpec((1, BLOCK_Q, d), lambda b, j, i, *_: (b, i, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((BLOCK_K, d), jnp.float32),
+                    pltpu.VMEM((BLOCK_K, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
+                jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+            ],
+            interpret=_INTERPRET,
+        )(seed, q, k, v, do, lse, delta)
+        return dq, dk, dv
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel, kv_len=kv_len, num_k_blocks=num_k,
@@ -373,6 +430,21 @@ def _pad_to(x, length, axis):
     return jnp.pad(x, widths)
 
 
+def padded_seq_len(t: int) -> int:
+    """Smallest L >= t the flash kernel accepts with no internal padding.
+
+    Callers (e.g. the Whisper encoder) can pad the sequence once at this
+    length and pass `kv_len=t`, instead of paying a jnp.pad copy of q/k/v at
+    every pallas call (3 per layer per direction at seq 1500 in round 1).
+    """
+    length = -(-t // 128) * 128
+    while True:
+        bq, bk = _block_sizes(length, length)
+        if length % bq == 0 and length % bk == 0:
+            return length
+        length += 128
+
+
 def flash_attention(
     query: jax.Array,   # [B, H, Tq, D], pre-scaled
     key: jax.Array,     # [B, H, Tk, D]
@@ -380,11 +452,14 @@ def flash_attention(
     bias: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     seed=0,             # python int or traced int32 scalar
+    kv_len: Optional[int] = None,  # true KV length when key/value are padded
 ) -> jax.Array:
     """Flash attention entry point on the [B, H, T, D] layout."""
     assert bias is None, "flash path handles bias-free attention only"
     b, h, tq, d = query.shape
     tk = key.shape[2]
+    if kv_len is None:
+        kv_len = tk
 
     bq, bk = _block_sizes(tq, tk)
     tq_pad = -(-tq // bq) * bq
@@ -394,5 +469,5 @@ def flash_attention(
     v = _pad_to(value.reshape(b * h, tk, d), tk_pad, 1)
 
     seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
-    o = _flash(q, k, v, seed_arr, float(dropout_rate), tk)
+    o = _flash(q, k, v, seed_arr, float(dropout_rate), kv_len)
     return o[:, :tq, :].reshape(b, h, tq, d)

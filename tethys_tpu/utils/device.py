@@ -29,6 +29,24 @@ def enable_host_cpu() -> None:
         pass
 
 
+def target_platform() -> str:
+    """Platform that jit-traced computations will actually lower to.
+
+    Unlike bare `jax.default_backend()`, this respects an active
+    `jax.default_device(...)` context — kernels gated on "tpu" must not take
+    the pallas path when tracing for a host-CPU execution.
+    """
+    try:
+        import jax
+
+        dev = jax.config.jax_default_device
+        if dev is not None and getattr(dev, "platform", None):
+            return dev.platform
+        return jax.default_backend()
+    except Exception:  # noqa: BLE001
+        return "cpu"
+
+
 def host_cpu_context():
     """Context manager running enclosed computations on host CPU."""
     try:
