@@ -19,9 +19,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Flash kernel only pays off when the score matrix is big enough to be
-# HBM-bound; below this length XLA's fused einsum path wins.
-_FLASH_MIN_SEQ = 512
+# Flash kernel min sequence length.  The score matrix is HBM-bound above
+# this; below it per-program overhead can dominate — env-overridable for
+# A/B measurement on new shapes.
+import os as _os
+
+_FLASH_MIN_SEQ = int(_os.environ.get("TETHYS_FLASH_MIN_SEQ", "512"))
 
 
 def _on_tpu() -> bool:
