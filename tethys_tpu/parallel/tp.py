@@ -48,7 +48,6 @@ def make_2d_mesh(num_devices: Optional[int] = None,
 def _spec_for(path: Tuple[str, ...], leaf) -> P:
     names = [str(p) for p in path]
     joined = "/".join(names)
-    ndim = getattr(leaf, "ndim", 0)
 
     def last_is(*keys):
         return any(joined.endswith(k) for k in keys)
@@ -68,8 +67,25 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
         return P("model", None)
     if last_is("lm_head/kernel"):
         return P(None, "model")
-    del ndim
-    return P()  # replicate everything else (norms, convs, small heads)
+    # Conv kernels [k, in, out]: shard output channels (whisper conv1/conv2,
+    # wav2vec2 feature-extractor convs; the grouped pos_conv_embed stays
+    # replicated — channel-sharding grouped convs fights GSPMD).
+    if (last_is("conv1/kernel", "conv2/kernel")
+            or any(n.startswith("conv_") for n in names) and joined.endswith("kernel")):
+        if "pos_conv_embed" not in joined:
+            return P(None, None, "model")
+    if last_is("conv1/bias", "conv2/bias"):
+        return P("model")
+    # Quantizer: codebook [G, V, d] sharded over codevectors; its input
+    # projection column-parallel (distance argmin over the sharded V dim is
+    # reduced by GSPMD).
+    if last_is("quantizer/codevectors"):
+        return P(None, "model", None)
+    if last_is("project_to_codevector_dim/kernel"):
+        return P(None, "model")
+    if last_is("project_to_codevector_dim/bias"):
+        return P("model")
+    return P()  # replicate everything else (norms, small heads)
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:
@@ -94,17 +110,26 @@ def make_tp_train_step(
     loss_fn: Callable,                  # (params, batch, rng) -> (loss, aux)
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
+    remat: bool = False,
 ):
     """jit train step over the 2-D mesh: global-mean loss, sharded params.
 
     XLA propagates the param shardings through the computation and inserts
     the tensor-parallel all-reduces; the gradient data-parallel reduction
-    falls out of the batch sharding.
+    falls out of the batch sharding.  `remat=True` checkpoints the loss
+    computation (activations rematerialized in backward; matmul outputs
+    saveable) — required for whisper-medium/large activations to fit HBM.
     """
+    fn = loss_fn
+    if remat:
+        fn = jax.checkpoint(
+            loss_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
 
     def step(state: TrainState, batch, rng):
         (loss, _aux), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, batch, rng), has_aux=True
+            lambda p: fn(p, batch, rng), has_aux=True
         )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
@@ -121,8 +146,17 @@ def make_tp_train_step(
 
 
 def init_tp_state(params: Any, optimizer: optax.GradientTransformation,
-                  mesh: Mesh) -> TrainState:
+                  mesh: Mesh, param_dtype=None) -> TrainState:
     """Shard params over the mesh; Adam moments inherit the shardings
-    (optimizer.init builds them with zeros_like, which preserves sharding)."""
+    (optimizer.init builds them with zeros_like, which preserves sharding).
+
+    `param_dtype=jnp.bfloat16` stores the master params in bf16 (halves the
+    param HBM for large models; pair with an optimizer whose moments stay
+    f32, e.g. `optax.adam(..., mu_dtype=jnp.float32)`).  Extension beyond
+    the reference (which has no model-parallel path at all).
+    """
+    if param_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(param_dtype), params)
     sharded = shard_params(params, mesh)
     return TrainState(sharded, optimizer.init(sharded))

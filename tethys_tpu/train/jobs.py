@@ -152,16 +152,32 @@ def train_whisper(
     profiler=None,
     resume: bool = False,
     collective_report: bool = False,
+    tensor_parallel: int = 1,
+    remat: bool = False,
 ):
     """End-to-end Whisper training job (reference train_whisper,
     speech_jobs/whisper_dist.py:894-958).  With `profiler` set, adds the
     tensorsize instrumentation of whisper_dist_tensorsize.py (per-layer
     activation census via capture_intermediates, gradient/parameter sizes,
-    memory sampling)."""
-    mesh = mesh or mesh_lib.make_data_mesh()
+    memory sampling).
+
+    `tensor_parallel > 1` trains over a 2-D (data, model) mesh with
+    Megatron-style param shardings (extension — the reference has data
+    parallelism only, SURVEY §2.6); `remat` checkpoints the forward for
+    medium/large-model HBM fits."""
+    if tensor_parallel > 1:
+        from tethys_tpu.parallel import tp as tp_lib
+
+        if resume:
+            raise ValueError("resume is not supported with tensor_parallel")
+        mesh = mesh or tp_lib.make_2d_mesh(model_parallel=tensor_parallel)
+    else:
+        mesh = mesh or mesh_lib.make_data_mesh()
     # Multi-process: each process feeds only its local shard of the global
     # batch (dp.shard_batch assembles the global array across processes).
-    data_batch = batch_size_per_replica * max(len(mesh.local_devices), 1)
+    model_par = dict(mesh.shape).get("model", 1)
+    data_batch = batch_size_per_replica * max(
+        len(mesh.local_devices) // model_par, 1)
 
     model, config = whisper_lib.create_whisper_model(
         model_type, compute_dtype=compute_dtype, **(config_overrides or {})
@@ -169,8 +185,11 @@ def train_whisper(
     rng = jax.random.PRNGKey(seed)
     params = _init_whisper(model, config, rng)
     optimizer = dp.whisper_optimizer(learning_rate)
-    state = dp.TrainState(params, optimizer.init(params))
-    state = dp.replicate_state(state, mesh)
+    if tensor_parallel > 1:
+        state = tp_lib.init_tp_state(params, optimizer, mesh)
+    else:
+        state = dp.TrainState(params, optimizer.init(params))
+        state = dp.replicate_state(state, mesh)
 
     def loss_fn(params, batch, step_rng):
         features, labels = batch
@@ -212,9 +231,13 @@ def train_whisper(
             _profiler_hooks(profiler, static_inventories, "whisper"),
         )
 
-    step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
+    if tensor_parallel > 1:
+        step_fn = tp_lib.make_tp_train_step(loss_fn, optimizer, mesh,
+                                            remat=remat)
+    else:
+        step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
     if collective_report:
-        gbatch = batch_size_per_replica * mesh_lib.num_replicas(mesh)
+        gbatch = batch_size_per_replica * dict(mesh.shape).get("data", 1)
         _emit_collective_report(
             step_fn, state,
             (_batch_aval((gbatch, config.n_mels, data_seq_len),
