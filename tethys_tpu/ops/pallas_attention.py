@@ -88,6 +88,34 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     i = pl.program_id(1)
     j = pl.program_id(2)
 
+    if num_k_blocks == 1:
+        # Whole KV in one block (every sequence length this framework
+        # meets): plain softmax — no online m/l scratch, no acc rescale.
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[:, None])
+        l = jnp.sum(p, axis=-1)
+        if dropout_rate > 0.0:
+            keep = _dropout_mask(seed_ref[0], b, i, j, p.shape, dropout_rate)
+            p = jnp.where(keep, p, 0.0)
+            scale = 1.0 / (1.0 - dropout_rate)
+        else:
+            scale = 1.0
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (out * (scale / l)[:, None]).astype(o_ref.dtype)
+        lse = m + jnp.log(l)
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+        return
+
     @pl.when(j == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
