@@ -116,9 +116,26 @@ def _run_family(args, family: str) -> None:
      model_tag) = builder(args, jax, jnp, dp, host_cpu_context)
 
     rng = jax.random.PRNGKey(0)
-    state = dp.replicate_state(
-        dp.TrainState(params, optimizer.init(params)), mesh)
-    step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=hardened)
+    if args.flat_opt:
+        # Flat-buffer master params (parallel/flat.py).  SLOWER single-chip
+        # (see BASELINE.md negative results: flat<->pytree boundary relayout
+        # costs ~7 ms/step at these param counts); kept for A/B and for
+        # multi-host meshes where 1 collective vs ~230 may win.
+        from tethys_tpu.parallel import flat as flat_lib
+
+        spec = flat_lib.FlatSpec(params)
+        lr = 3e-5 if family == "wav2vec2" else 1e-4
+        optimizer = flat_lib.flat_optimizer(spec, family, lr)
+        vec = spec.flatten(params)
+        state = dp.replicate_state(
+            dp.TrainState(vec, optimizer.init(vec)), mesh)
+        step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=hardened,
+                                  flat_spec=spec)
+        probe = lambda s: float(s.params[0])  # noqa: E731
+    else:
+        state = dp.replicate_state(
+            dp.TrainState(params, optimizer.init(params)), mesh)
+        step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=hardened)
     batch = dp.shard_batch(host_batch, mesh)
 
     def force(state, loss):
@@ -173,6 +190,10 @@ def main() -> None:
     parser.add_argument("--model", type=str, default="base")
     parser.add_argument("--family", type=str, default="both",
                         choices=["both", "whisper", "wav2vec2"])
+    parser.add_argument("--flat_opt", action="store_true",
+                        help="use the flat-buffer optimizer path "
+                             "(parallel/flat.py) instead of the per-tensor "
+                             "pytree default (for A/B; slower single-chip)")
     args = parser.parse_args()
 
     from tethys_tpu.utils.device import enable_host_cpu

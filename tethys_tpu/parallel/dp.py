@@ -81,6 +81,7 @@ def make_train_step(
     axis: str = "data",
     return_aux: bool = False,
     grad_aux_fn: Optional[Callable[[Any], Any]] = None,
+    flat_spec=None,
 ):
     """Build a jitted DP train step.
 
@@ -92,8 +93,27 @@ def make_train_step(
     aux pmean'd over replicas, plus `grad_aux_fn(summed_grads)` under key
     "grad_aux" if given (used by the tensorsize profiler for in-graph
     per-gradient value statistics).
+
+    With `flat_spec` (a `parallel.flat.FlatSpec`), `state.params` is the
+    flat f32 master vector and `optimizer` must be the matching flat
+    optimizer (`flat.whisper_optimizer` / `flat.wav2vec2_optimizer`): the
+    whole clip → psum → clip → Adam chain then runs as a few large 1-D ops
+    and one collective instead of four tree passes over every tensor
+    (see flat.py module docs).  loss_fn still receives the pytree.
     """
     n_replicas = mesh.shape[axis]
+
+    if flat_spec is not None:
+        pytree_loss_fn = loss_fn
+
+        def loss_fn(flat_params, batch, rng):  # noqa: F811
+            return pytree_loss_fn(flat_spec.unflatten(flat_params), batch, rng)
+
+        if grad_aux_fn is not None:
+            pytree_grad_aux_fn = grad_aux_fn
+
+            def grad_aux_fn(flat_grads):  # noqa: F811
+                return pytree_grad_aux_fn(flat_spec.unflatten(flat_grads))
 
     def replica_step(state: TrainState, batch, rng):
         # Distinct dropout / sampling streams per replica.
