@@ -35,8 +35,10 @@ def main() -> None:
 
     from tethys_tpu.parallel import dp
 
-    assert jax.process_count() == 2, f"process_count={jax.process_count()}"
-    mesh = mesh_lib.make_data_mesh(2)
+    want_n = int(os.environ.get("MP_EXPECT_PROCESSES", "2"))
+    assert jax.process_count() == want_n, (
+        f"process_count={jax.process_count()} want {want_n}")
+    mesh = mesh_lib.make_data_mesh(want_n)
 
     params = {"w": jnp.ones((4, 4), jnp.float32),
               "b": jnp.zeros((4,), jnp.float32)}
@@ -52,8 +54,8 @@ def main() -> None:
 
     step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
     pid = jax.process_index()
-    # Deterministic per-process shard: replica 0 sees x=1 (mse 16), replica 1
-    # sees x=2 (mse 64); the logged loss is the MWMS-style SUM = 80.
+    # Deterministic per-process shard: replica i sees x=i+1 (mse 16*(i+1)^2);
+    # the logged loss is the MWMS-style SUM over replicas.
     x = np.full((1, 4), float(pid + 1), np.float32)
     y = np.zeros((1, 4), np.float32)
     batch = dp.shard_batch((x, y), mesh)

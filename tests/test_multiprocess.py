@@ -1,12 +1,14 @@
-"""Real 2-process distributed init + DP step over localhost.
+"""Real N-process distributed init + DP step over localhost.
 
 Round-1 verdict item #2: `initialize_distributed` used to query
 `jax.process_count()` first, which initialized the XLA backend and made the
-subsequent `jax.distributed.initialize` always raise.  This test runs the
-genuine multi-process path end to end: two subprocesses, TF_CONFIG-style
+subsequent `jax.distributed.initialize` always raise.  These tests run the
+genuine multi-process path end to end: N subprocesses, TF_CONFIG-style
 cluster spec (the reference's Kubeflow contract,
 speech_jobs/whisper_dist.py:1037-1047), coordination service on localhost,
-one shard_map DP train step with a cross-process psum.
+one shard_map DP train step with a cross-process psum.  N=2 mirrors the
+reference's CHIEF+WORKER sample manifests; N=4 proves the path generalizes
+beyond a pair (one chief + three workers).
 """
 
 import json
@@ -14,6 +16,8 @@ import os
 import socket
 import subprocess
 import sys
+
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
@@ -25,22 +29,19 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _tf_config(chief: str, worker: str, task_type: str, index: int) -> str:
-    return json.dumps({
-        "cluster": {"chief": [chief], "worker": [worker]},
-        "task": {"type": task_type, "index": index},
-    })
-
-
-def test_two_process_dp_step_over_localhost():
+def _run_cluster(n_processes: int) -> list:
     chief_addr = f"127.0.0.1:{_free_port()}"
-    worker_addr = f"127.0.0.1:{_free_port()}"
+    worker_addrs = [f"127.0.0.1:{_free_port()}"
+                    for _ in range(n_processes - 1)]
+    cluster = {"chief": [chief_addr], "worker": worker_addrs}
 
     def env_for(task_type: str, index: int) -> dict:
         env = dict(os.environ)
-        env["TF_CONFIG"] = _tf_config(chief_addr, worker_addr, task_type, index)
+        env["TF_CONFIG"] = json.dumps(
+            {"cluster": cluster, "task": {"type": task_type, "index": index}})
+        env["MP_EXPECT_PROCESSES"] = str(n_processes)
         env["JAX_PLATFORMS"] = "cpu"
-        # One local CPU device per process -> a genuine 2-process mesh.
+        # One local CPU device per process -> a genuine N-process mesh.
         env["XLA_FLAGS"] = " ".join(
             f for f in env.get("XLA_FLAGS", "").split()
             if not f.startswith("--xla_force_host_platform_device_count")
@@ -49,29 +50,37 @@ def test_two_process_dp_step_over_localhost():
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         return env
 
+    tasks = [("chief", 0)] + [("worker", i) for i in range(n_processes - 1)]
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER], env=env_for(t, 0),
+            [sys.executable, WORKER], env=env_for(t, i),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        for t in ("chief", "worker")
+        for t, i in tasks
     ]
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=180)
+            out, err = p.communicate(timeout=240)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err}"
         outs.append(out)
+    return outs
 
+
+@pytest.mark.parametrize("n_processes", [2, 4])
+def test_n_process_dp_step_over_localhost(n_processes):
+    outs = _run_cluster(n_processes)
     losses = []
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("MP_OK")]
         assert line, out
         losses.append(float(line[0].split("loss=")[1]))
-    # Both processes must log the identical SUM-reduced loss: 16 + 64 = 80.
-    assert losses[0] == losses[1]
-    assert abs(losses[0] - 80.0) < 1e-4
+    # Every process must log the identical SUM-reduced loss:
+    # replica i computes mse 16*(i+1)^2.
+    want = 16.0 * sum((i + 1) ** 2 for i in range(n_processes))
+    assert all(l == losses[0] for l in losses)
+    assert abs(losses[0] - want) < 1e-3
