@@ -86,9 +86,22 @@ def _xla_attention(query, key, value, bias, dropout_rate, dropout_rng,
     if kv_len is not None and kv_len < key.shape[2]:
         col = jnp.arange(key.shape[2])
         scores = jnp.where(col[None, None, None, :] < kv_len, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
     if not deterministic and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    probs = probs.astype(out_dtype)
+        if _on_tpu():
+            # On-core-PRNG dropout kernel on the compute-dtype probs: XLA's
+            # bernoulli lowers to a threefry keystream + materialized mask
+            # over the full [B, H, Tq, Tk] score tensor, a measurable slice
+            # of the short-sequence (T=100) wav2vec2 attention cost.
+            from tethys_tpu.ops.pallas_dropout import fused_dropout
+
+            seed = jax.random.randint(
+                dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            probs = fused_dropout(probs, dropout_rate, seed)
+        else:
+            keep = jax.random.bernoulli(
+                dropout_rng, 1.0 - dropout_rate, probs.shape)
+            probs = jnp.where(
+                keep, probs / jnp.asarray(1.0 - dropout_rate, out_dtype),
+                jnp.zeros((), out_dtype))
     return jnp.einsum("bhqk,bhkd->bhqd", probs, value)

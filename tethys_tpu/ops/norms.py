@@ -42,12 +42,29 @@ class ReferenceGroupNorm(nn.Module):
 
         b, t, c = x.shape
         per_group = c // self.groups
-        # [B, T, C] -> [B, T, G, C/G]; moments over (T, C/G) per (B, G),
-        # matching the reference's transpose + tf.nn.moments(axes=[1, 2]).
-        xg = x.reshape(b, t, self.groups, per_group).astype(jnp.float32)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
-        normed = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        normed = normed.reshape(b, t, c)
-        out = gamma * normed + beta
+        # Moments over (T, C/G) per (B, G) — the reference's transpose +
+        # tf.nn.moments(axes=[1, 2]) semantics — computed WITHOUT reshaping
+        # the activation to [B, T, G, C/G]: a per-group-minor tensor puts a
+        # 32-wide dim in the 128-lane position, so every pass runs on 4x
+        # padded tiles plus relayout copies (profiled at ~25x the HBM
+        # roofline).  Instead reduce over T in the natural [B, T, C] layout
+        # to [B, C], then fold the tiny [B, C] into [B, G] group moments.
+        # Variance is two-pass (E[(x-mu)^2], not E[x^2]-mu^2): conv
+        # activations sit far from zero and the one-pass form loses ~3
+        # digits to cancellation (BASELINE.md round-2 notes).
+        xf = x.astype(jnp.float32)
+        denom = t * per_group
+
+        def group_fold(per_channel):  # [B, C] -> [B, G]
+            return jnp.sum(
+                per_channel.reshape(b, self.groups, per_group), axis=-1)
+
+        def group_spread(per_group_vals):  # [B, G] -> [B, 1, C]
+            return jnp.repeat(per_group_vals, per_group, axis=-1)[:, None, :]
+
+        mean = group_spread(group_fold(jnp.sum(xf, axis=1)) / denom)
+        centered = xf - mean
+        var = group_spread(
+            group_fold(jnp.sum(jnp.square(centered), axis=1)) / denom)
+        out = gamma * (centered * jax.lax.rsqrt(var + self.epsilon)) + beta
         return out.astype(self.dtype)
