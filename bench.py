@@ -96,9 +96,16 @@ def _build_wav2vec2(args, jax, jnp, dp, host_cpu_context):
 
 
 _FAMILY_DEFAULT_BATCH = {"whisper": 16, "wav2vec2": 32}
+# Learning rates the builders bake into their optimizers; the flat path
+# rebuilds the optimizer from these (single source for scripts/profile_step).
+_FAMILY_LR = {"whisper": 1e-4, "wav2vec2": 3e-5}
 
 
-def _run_family(args, family: str) -> None:
+def build_family_step(args, family: str):
+    """Construct (state, step, batch, probe, audio_seconds, model_tag) for
+    one family — the exact configuration bench.py measures.  Shared with
+    scripts/profile_step.py so profiles always describe the benchmarked
+    setup."""
     import jax
     import jax.numpy as jnp
 
@@ -115,8 +122,7 @@ def _run_family(args, family: str) -> None:
     (params, optimizer, loss_fn, host_batch, probe, audio_seconds, hardened,
      model_tag) = builder(args, jax, jnp, dp, host_cpu_context)
 
-    rng = jax.random.PRNGKey(0)
-    if args.flat_opt:
+    if getattr(args, "flat_opt", False):
         # Flat-buffer master params (parallel/flat.py).  SLOWER single-chip
         # (see BASELINE.md negative results: flat<->pytree boundary relayout
         # costs ~7 ms/step at these param counts); kept for A/B and for
@@ -124,8 +130,7 @@ def _run_family(args, family: str) -> None:
         from tethys_tpu.parallel import flat as flat_lib
 
         spec = flat_lib.FlatSpec(params)
-        lr = 3e-5 if family == "wav2vec2" else 1e-4
-        optimizer = flat_lib.flat_optimizer(spec, family, lr)
+        optimizer = flat_lib.flat_optimizer(spec, family, _FAMILY_LR[family])
         vec = spec.flatten(params)
         state = dp.replicate_state(
             dp.TrainState(vec, optimizer.init(vec)), mesh)
@@ -137,6 +142,15 @@ def _run_family(args, family: str) -> None:
             dp.TrainState(params, optimizer.init(params)), mesh)
         step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=hardened)
     batch = dp.shard_batch(host_batch, mesh)
+    return state, step, batch, probe, audio_seconds, model_tag, args
+
+
+def _run_family(args, family: str) -> None:
+    import jax
+
+    (state, step, batch, probe, audio_seconds, model_tag,
+     args) = build_family_step(args, family)
+    rng = jax.random.PRNGKey(0)
 
     def force(state, loss):
         # On tunneled TPU runtimes block_until_ready can return before the

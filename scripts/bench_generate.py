@@ -1,0 +1,117 @@
+"""Serving-path benchmark: batched greedy decoding with the KV cache.
+
+Measures whisper-base autoregressive generation on one chip — encode a
+batch of 30 s log-mel inputs, then greedy-decode `--length` tokens through
+`models.whisper.greedy_generate` (jit'd whole: encoder + lax.while_loop over
+cached single-token decode steps).  Prints one JSON line:
+
+    {"metric": "whisper_base_decode_tokens_per_sec_per_chip", ...}
+
+with decode tokens/s, per-token latency, and the end-to-end real-time
+factor (audio seconds transcribed per wall second, encode included).
+
+Random weights never emit EOS at step 1, so the loop runs the full
+`--length` — the measurement is shape-accurate for real serving.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--length", type=int, default=128)
+    p.add_argument("--model", default="base")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args()
+
+    from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
+
+    enable_host_cpu()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tethys_tpu.models.whisper import create_whisper_model, greedy_generate
+
+    model, config = create_whisper_model(args.model, compute_dtype=args.dtype)
+    rng = jax.random.PRNGKey(0)
+    np_rng = np.random.default_rng(0)
+    features = jnp.asarray(np_rng.standard_normal(
+        (args.batch_size, config.n_mels, 3000), dtype=np.float32))
+    labels = jnp.asarray(
+        np_rng.integers(3, 100, size=(args.batch_size, 8)), dtype=jnp.int32)
+
+    with host_cpu_context():
+        variables = {"params": model.init(
+            {"params": rng, "dropout": rng},
+            features[:1, :, :64], labels=labels[:1], deterministic=True,
+        )["params"]}
+    # Init ran on host CPU; move the weights onto the chip once so the
+    # timed calls don't re-transfer ~300 MB per invocation.
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    # Params MUST be jit arguments, not closure captures: captured arrays
+    # are baked into the program as literals, and on remote-compile runtimes
+    # the ~300 MB upload is rejected (HTTP 413) or crawls for tens of
+    # minutes.
+    gen = jax.jit(
+        lambda v, feats: greedy_generate(model, v, feats,
+                                         max_length=args.length))
+    encode = jax.jit(
+        lambda v, feats: model.apply(v, feats, method=model.encode))
+
+    print(f"compiling generate (batch={args.batch_size} "
+          f"len={args.length})...", file=sys.stderr, flush=True)
+    t_c = time.perf_counter()
+    gen = gen.lower(variables, features).compile()
+    print(f"compiled in {time.perf_counter() - t_c:.0f}s",
+          file=sys.stderr, flush=True)
+    tokens, length = gen(variables, features)
+    n_decoded = int(jax.device_get(length)) - 1
+    int(jax.device_get(tokens[0, 1]))  # force
+    float(jax.device_get(encode(variables, features)[0, 0, 0]))  # warm
+
+    def timed(fn, forcer):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(variables, features)
+        forcer(out)
+        return (time.perf_counter() - t0) / args.iters
+
+    dt_total = timed(gen, lambda o: (int(jax.device_get(o[0][0, -1])),
+                                     int(jax.device_get(o[1]))))
+    dt_encode = timed(encode,
+                      lambda o: float(jax.device_get(o[0, -1, 0])))
+    dt_decode = max(dt_total - dt_encode, 1e-9)
+
+    total_tokens = n_decoded * args.batch_size
+    audio_seconds = 30.0 * args.batch_size
+    print(json.dumps({
+        "metric": f"whisper_{args.model}_decode_tokens_per_sec_per_chip",
+        "value": round(total_tokens / dt_decode, 1),
+        "unit": "tokens/sec/chip",
+        "per_token_latency_ms": round(dt_decode / n_decoded * 1e3, 3),
+        "encode_ms": round(dt_encode * 1e3, 2),
+        "rtf_e2e": round(audio_seconds / dt_total, 1),
+        "batch_size": args.batch_size,
+        "decode_len": n_decoded,
+        "dtype": args.dtype,
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

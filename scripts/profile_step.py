@@ -99,6 +99,13 @@ def main() -> None:
 
     per_op = parse_xplane(logdir, args.steps)
     total = sum(per_op.values())
+    if not per_op:
+        raise SystemExit(
+            f"no TPU 'XLA Ops' events found in {logdir} — CPU trace, empty "
+            f"dir, or a runtime with a differently-named device plane?")
+    if args.logdir is not None:
+        print(f"note: normalizing by --steps={args.steps}; must match the "
+              f"step count the trace was captured with", flush=True)
     print(f"\n=== {args.family} step: {total:.1f} ms device time/step "
           f"(trace {logdir}) ===")
     rollup = collections.Counter()
@@ -120,47 +127,19 @@ def main() -> None:
 
 
 def run_trace(args, logdir: str) -> None:
+    """Trace the EXACT configuration bench.py measures (shared builder)."""
     import bench
-    from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
+    from tethys_tpu.utils.device import enable_host_cpu
 
     enable_host_cpu()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
-    from tethys_tpu.parallel import dp
-    from tethys_tpu.parallel.mesh import make_data_mesh
-
-    if args.batch_size is None:
-        args.batch_size = bench._FAMILY_DEFAULT_BATCH[args.family]
-
-    mesh = make_data_mesh(1)
-    builder = (bench._build_whisper if args.family == "whisper"
-               else bench._build_wav2vec2)
-    (params, optimizer, loss_fn, host_batch, probe, _audio, hardened,
-     _tag) = builder(args, jax, jnp, dp, host_cpu_context)
-
+    (state, step, batch, probe, _audio, _tag,
+     args) = bench.build_family_step(args, args.family)
     rng = jax.random.PRNGKey(0)
-    if args.flat_opt:
-        from tethys_tpu.parallel import flat as flat_lib
-
-        spec = flat_lib.FlatSpec(params)
-        lr = 3e-5 if args.family == "wav2vec2" else 1e-4
-        optimizer = flat_lib.flat_optimizer(spec, args.family, lr)
-        vec = spec.flatten(params)
-        state = dp.replicate_state(
-            dp.TrainState(vec, optimizer.init(vec)), mesh)
-        step = dp.make_train_step(loss_fn, optimizer, mesh,
-                                  hardened=hardened, flat_spec=spec)
-        probe = lambda s: float(s.params[0])  # noqa: E731
-    else:
-        state = dp.replicate_state(
-            dp.TrainState(params, optimizer.init(params)), mesh)
-        step = dp.make_train_step(loss_fn, optimizer, mesh,
-                                  hardened=hardened)
-    batch = dp.shard_batch(host_batch, mesh)
 
     for i in range(3):
         state, loss = step(state, batch, jax.random.fold_in(rng, i))

@@ -68,7 +68,6 @@ def test_unflatten_vjp_is_single_concat():
                 + 3.0 * jnp.sum(tree["scale"]))
 
     g = jax.grad(f)(vec)
-    want = spec.flatten(jax.tree_util.tree_map(jnp.zeros_like, params))
     want_tree = jax.grad(
         lambda p: jnp.sum(p["dense1"]["kernel"] ** 2)
         + 3.0 * jnp.sum(p["scale"]))(params)

@@ -66,6 +66,8 @@ class WhisperAttention(nn.Module):
         cache_index: Optional[jax.Array] = None,  # scalar write position
         deterministic: bool = True,
         kv_len: Optional[int] = None,  # true KV length when inputs are padded
+        precomputed_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+        kv_only: bool = False,  # return split (K, V) of kv_source, no attention
     ) -> Tuple[jax.Array, Optional[Cache]]:
         cfg = self.config
         d_model = cfg.d_model
@@ -82,12 +84,21 @@ class WhisperAttention(nn.Module):
         def split(x):  # [B, T, H*d] -> [B, H, T, d], fast-transpose on TPU
             return split_heads(x, self.num_heads)
 
+        kv_source = key_value_states if key_value_states is not None else hidden_states
+        if kv_only:
+            # Incremental-decode setup: project K/V once per generate() so
+            # the per-token decode step skips 2 projections of the full
+            # [B, Tenc, E] encoder output per layer.
+            return (split(k_proj(kv_source)), split(v_proj(kv_source))), None
+
         scaling = head_dim ** -0.5
         query = split(q_proj(hidden_states) * scaling)
 
-        kv_source = key_value_states if key_value_states is not None else hidden_states
-        key = split(k_proj(kv_source))
-        value = split(v_proj(kv_source))
+        if precomputed_kv is not None:
+            key, value = precomputed_kv
+        else:
+            key = split(k_proj(kv_source))
+            value = split(v_proj(kv_source))
 
         new_cache = None
         if cache is not None:
@@ -176,8 +187,17 @@ class WhisperDecoderLayer(nn.Module):
         cache_index=None,
         deterministic: bool = True,
         cross_kv_len: Optional[int] = None,
+        cross_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+        cross_kv_only: bool = False,
     ):
         cfg = self.config
+        if cross_kv_only:
+            # Project this layer's cross-attention K/V from the encoder
+            # output (generate()-time setup; see WhisperAttention.kv_only).
+            return WhisperAttention(
+                cfg, cfg.decoder_attention_heads, name="encoder_attn"
+            )(encoder_hidden_states, key_value_states=encoder_hidden_states,
+              kv_only=True)
         residual = x
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                          name="self_attn_layer_norm")(x)
@@ -193,7 +213,8 @@ class WhisperDecoderLayer(nn.Module):
         cross_out, _ = WhisperAttention(
             cfg, cfg.decoder_attention_heads, name="encoder_attn"
         )(x, key_value_states=encoder_hidden_states, bias=cross_attn_bias,
-          deterministic=deterministic, kv_len=cross_kv_len)
+          deterministic=deterministic, kv_len=cross_kv_len,
+          precomputed_kv=cross_kv)
         x = residual + cross_out
 
         residual = x
@@ -266,8 +287,18 @@ class WhisperDecoder(nn.Module):
         cache_index=None,
         deterministic: bool = True,
         cross_kv_len: Optional[int] = None,  # true encoder length when padded
+        cross_kvs=None,            # per-layer precomputed cross (K, V)
+        cross_kv_only: bool = False,
     ):
         cfg = self.config
+        if cross_kv_only:
+            # generate()-time setup pass: per-layer cross-attention K/V.
+            return tuple(
+                WhisperDecoderLayer(cfg, name=f"layers_{i}")(
+                    None, encoder_hidden_states, cross_kv_only=True
+                )[0]
+                for i in range(cfg.decoder_layers)
+            )
         embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype,
                          embedding_init=EmbedInit, name="embed_tokens")
         x = embed(input_ids)
@@ -293,6 +324,7 @@ class WhisperDecoder(nn.Module):
                 cache_index=cache_index,
                 deterministic=deterministic,
                 cross_kv_len=cross_kv_len,
+                cross_kv=cross_kvs[i] if cross_kvs is not None else None,
             )
             new_caches.append(new_cache)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
@@ -418,16 +450,25 @@ class WhisperForConditionalGeneration(nn.Module):
     def encode(self, input_features: jax.Array) -> jax.Array:
         return self.model.encoder(input_features, deterministic=True)
 
+    def precompute_cross_kv(self, encoder_hidden_states: jax.Array):
+        """Per-layer cross-attention (K, V) projected once per generate():
+        the per-token decode step then skips 2 full-length encoder-output
+        projections per layer (12 matmuls/token at whisper-base)."""
+        return self.model.decoder(
+            None, encoder_hidden_states, cross_kv_only=True)
+
     def decode_step(
         self,
         token: jax.Array,                 # [B, 1]
         encoder_hidden_states: jax.Array,
         caches: Tuple[Cache, ...],
         cache_index: jax.Array,
+        cross_kvs=None,
     ):
         hidden, new_caches = self.model.decoder(
             token, encoder_hidden_states,
             caches=caches, cache_index=cache_index, deterministic=True,
+            cross_kvs=cross_kvs,
         )
         logits = self.lm_head(hidden)
         return logits, new_caches
@@ -472,30 +513,39 @@ def greedy_generate(
     batch = input_features.shape[0]
 
     encoder_hidden = model.apply(variables, input_features, method=model.encode)
+    cross_kvs = model.apply(variables, encoder_hidden,
+                            method=model.precompute_cross_kv)
     caches = init_kv_caches(cfg, batch, max_length)
 
     tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, dtype=jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
 
-    def cond(state):
-        i, _, _, all_eos = state
-        return jnp.logical_and(i < max_length, jnp.logical_not(all_eos))
-
-    def body(state):
-        i, tokens, caches, _ = state
+    # lax.scan over the fixed max_length, not lax.while_loop: the while
+    # form compiled pathologically slowly (>50 min) on the tunneled TPU
+    # toolchain.  `done` reproduces the early-stop SEMANTICS exactly — once
+    # every token is EOS, later slots receive pad (the while version left
+    # their initial pad fill untouched) and `n` freezes at the stop step —
+    # the scan merely keeps executing masked steps, trading wasted FLOPs
+    # after a global stop for a compilable program.
+    def body(carry, i):
+        tokens, caches, done, n = carry
         current = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
         logits, caches = model.apply(
-            variables, current, encoder_hidden, caches, i,
+            variables, current, encoder_hidden, caches, i, cross_kvs,
             method=model.decode_step,
         )
         next_tokens = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        next_tokens = jnp.where(done, cfg.pad_token_id, next_tokens)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, next_tokens[:, None], i + 1, axis=1
         )
-        all_eos = jnp.all(next_tokens == cfg.eos_token_id)
-        return i + 1, tokens, caches, all_eos
+        n = jnp.where(done, n, i + 1)
+        done = jnp.logical_or(done, jnp.all(next_tokens == cfg.eos_token_id))
+        return (tokens, caches, done, n), None
 
-    length, tokens, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens, caches, jnp.bool_(False))
+    (tokens, _, _, length), _ = jax.lax.scan(
+        body,
+        (tokens, caches, jnp.bool_(False), jnp.int32(0)),
+        jnp.arange(max_length),
     )
     return tokens, length + 1

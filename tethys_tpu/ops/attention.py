@@ -25,6 +25,10 @@ import jax.numpy as jnp
 import os as _os
 
 _FLASH_MIN_SEQ = int(_os.environ.get("TETHYS_FLASH_MIN_SEQ", "512"))
+# Min QUERY length for the flash path.  Single-token (incremental decode)
+# queries are matvecs — the XLA path is both faster and avoids a fresh
+# multi-minute Mosaic kernel compile per decode shape.
+_FLASH_MIN_TQ = int(_os.environ.get("TETHYS_FLASH_MIN_TQ", "16"))
 
 
 def _on_tpu() -> bool:
@@ -36,7 +40,7 @@ def _on_tpu() -> bool:
 def flash_active(use_flash: bool, tq: int, tk: int) -> bool:
     """Whether multi_head_attention will take the pallas flash path for
     these sequence lengths (used by callers to pre-pad once per pass)."""
-    return use_flash and _on_tpu() and (
+    return use_flash and _on_tpu() and tq >= _FLASH_MIN_TQ and (
         tq >= _FLASH_MIN_SEQ or tk >= _FLASH_MIN_SEQ
     )
 
@@ -59,10 +63,9 @@ def multi_head_attention(
         if pallas_attention.supported(query, key, value, bias):
             rate = 0.0 if deterministic else dropout_rate
             if rate > 0.0 and dropout_rng is not None:
-                seed = jax.random.randint(
-                    dropout_rng, (), 0, jnp.iinfo(jnp.int32).max,
-                    dtype=jnp.int32,
-                )
+                from tethys_tpu.ops.pallas_dropout import seed_from_rng
+
+                seed = seed_from_rng(dropout_rng)
             else:
                 rate, seed = 0.0, 0
             return pallas_attention.flash_attention(
@@ -93,11 +96,12 @@ def _xla_attention(query, key, value, bias, dropout_rate, dropout_rng,
             # bernoulli lowers to a threefry keystream + materialized mask
             # over the full [B, H, Tq, Tk] score tensor, a measurable slice
             # of the short-sequence (T=100) wav2vec2 attention cost.
-            from tethys_tpu.ops.pallas_dropout import fused_dropout
+            from tethys_tpu.ops.pallas_dropout import (
+                fused_dropout, seed_from_rng,
+            )
 
-            seed = jax.random.randint(
-                dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-            probs = fused_dropout(probs, dropout_rate, seed)
+            probs = fused_dropout(probs, dropout_rate,
+                                  seed_from_rng(dropout_rng))
         else:
             keep = jax.random.bernoulli(
                 dropout_rng, 1.0 - dropout_rate, probs.shape)

@@ -70,6 +70,16 @@ def _bwd(rate, seed_arr, g):
 _dropout2d.defvjp(_fwd, _bwd)
 
 
+def seed_from_rng(rng: jax.Array) -> jax.Array:
+    """Derive the int32 seed the on-core PRNG kernels take from a JAX key.
+
+    Single home for the seed policy (31 random bits); used by the flash
+    attention kernel, the XLA-path attention dropout, and module_dropout.
+    """
+    return jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+
+
 def fused_dropout(x: jax.Array, rate: float, seed) -> jax.Array:
     """Dropout over an arbitrarily-shaped array (TPU PRNG, mask regenerated
     in backward).  `seed`: python int or traced int32 scalar."""
@@ -98,10 +108,7 @@ def module_dropout(module, x: jax.Array, rate: float,
     except Exception:  # noqa: BLE001
         on_tpu = False
     if on_tpu and x.size >= 1 << 14:
-        rng = module.make_rng("dropout")
-        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
-                                  dtype=jnp.int32)
-        return fused_dropout(x, rate, seed)
+        return fused_dropout(x, rate, seed_from_rng(module.make_rng("dropout")))
     import flax.linen as nn
 
     return nn.Dropout(rate)(x, deterministic=False,
