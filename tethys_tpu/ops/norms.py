@@ -55,6 +55,12 @@ class ReferenceGroupNorm(nn.Module):
         xf = x.astype(jnp.float32)
         denom = t * per_group
 
+        def t_reduce(y):  # [B, T, C] -> [B, C], sum over time
+            # NOTE: tried as an MXU dot-against-ones too — measured an exact
+            # wash vs the VPU reduce at every conv-stack shape (BASELINE.md
+            # round-2 negative results); keep the plain reduce.
+            return jnp.sum(y, axis=1)
+
         def group_fold(per_channel):  # [B, C] -> [B, G]
             return jnp.sum(
                 per_channel.reshape(b, self.groups, per_group), axis=-1)
@@ -62,9 +68,9 @@ class ReferenceGroupNorm(nn.Module):
         def group_spread(per_group_vals):  # [B, G] -> [B, 1, C]
             return jnp.repeat(per_group_vals, per_group, axis=-1)[:, None, :]
 
-        mean = group_spread(group_fold(jnp.sum(xf, axis=1)) / denom)
+        mean = group_spread(group_fold(t_reduce(xf)) / denom)
         centered = xf - mean
         var = group_spread(
-            group_fold(jnp.sum(jnp.square(centered), axis=1)) / denom)
+            group_fold(t_reduce(jnp.square(centered))) / denom)
         out = gamma * (centered * jax.lax.rsqrt(var + self.epsilon)) + beta
         return out.astype(self.dtype)
