@@ -162,6 +162,26 @@ def test_wav2vec2_profiled_job_value_skews(tmp_path):
     assert all(np.isfinite(v) for v in skews.values())
 
 
+def test_whisper_job_seq_parallel(tmp_path, capsys):
+    """--sp path: (data, seq) mesh, encoder time axis sharded (extension)."""
+    from tethys_tpu.parallel import sp as sp_lib
+
+    mesh = sp_lib.make_seq_mesh(8, seq_parallel=4)
+    result, _, _ = jobs.train_whisper(
+        model_type="small",
+        batch_size_per_replica=1,
+        num_batches=2,
+        mesh=mesh,
+        seq_parallel=4,
+        checkpointing=False,
+        data_seq_len=128,
+        config_overrides=TINY_WHISPER,
+    )
+    out = capsys.readouterr().out
+    assert len(LOG_RE.findall(out)) == 2
+    assert all(np.isfinite(result.losses))
+
+
 def test_collective_report_written(tmp_path):
     """Dist jobs write <task>_<idx>_collectives.txt with nonzero all-reduce
     bytes (the analytic ICI equivalent of reference network.sh:1-9)."""

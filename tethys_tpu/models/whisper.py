@@ -264,10 +264,18 @@ class WhisperEncoder(nn.Module):
                 x = jnp.pad(x, ((0, 0), (0, pad_len - true_len), (0, 0)))
         kv_len = true_len if pad_len != true_len else None
 
+        # Sequence-parallel hook (no-op outside parallel/sp.py's trainer):
+        # constrain [B, T, D] to P('data', 'seq', None) at layer boundaries
+        # so GSPMD keeps the time axis sharded through LN/FFN and gathers
+        # K/V for attention.
+        from tethys_tpu.parallel.sp import seq_constrain
+
+        x = seq_constrain(x)
         for i in range(cfg.encoder_layers):
             x = WhisperEncoderLayer(cfg, name=f"layers_{i}")(
                 x, deterministic=deterministic, kv_len=kv_len
             )
+            x = seq_constrain(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                          name="layer_norm")(x)
         if pad_len != true_len and not keep_padded:

@@ -153,6 +153,7 @@ def train_whisper(
     resume: bool = False,
     collective_report: bool = False,
     tensor_parallel: int = 1,
+    seq_parallel: int = 1,
     remat: bool = False,
 ):
     """End-to-end Whisper training job (reference train_whisper,
@@ -162,20 +163,30 @@ def train_whisper(
     memory sampling).
 
     `tensor_parallel > 1` trains over a 2-D (data, model) mesh with
-    Megatron-style param shardings (extension — the reference has data
-    parallelism only, SURVEY §2.6); `remat` checkpoints the forward for
-    medium/large-model HBM fits."""
+    Megatron-style param shardings; `seq_parallel > 1` over a (data, seq)
+    mesh with the encoder time axis sharded (both extensions — the
+    reference has data parallelism only, SURVEY §2.6); `remat` checkpoints
+    the forward for medium/large-model HBM fits."""
+    if tensor_parallel > 1 and seq_parallel > 1:
+        raise ValueError("tensor_parallel and seq_parallel are exclusive")
     if tensor_parallel > 1:
         from tethys_tpu.parallel import tp as tp_lib
 
         if resume:
             raise ValueError("resume is not supported with tensor_parallel")
         mesh = mesh or tp_lib.make_2d_mesh(model_parallel=tensor_parallel)
+    elif seq_parallel > 1:
+        from tethys_tpu.parallel import sp as sp_lib
+
+        if resume:
+            raise ValueError("resume is not supported with seq_parallel")
+        mesh = mesh or sp_lib.make_seq_mesh(seq_parallel=seq_parallel)
     else:
         mesh = mesh or mesh_lib.make_data_mesh()
     # Multi-process: each process feeds only its local shard of the global
     # batch (dp.shard_batch assembles the global array across processes).
-    model_par = dict(mesh.shape).get("model", 1)
+    model_par = (dict(mesh.shape).get("model", 1)
+                 * dict(mesh.shape).get("seq", 1))
     data_batch = batch_size_per_replica * max(
         len(mesh.local_devices) // model_par, 1)
 
@@ -187,6 +198,8 @@ def train_whisper(
     optimizer = dp.whisper_optimizer(learning_rate)
     if tensor_parallel > 1:
         state = tp_lib.init_tp_state(params, optimizer, mesh)
+    elif seq_parallel > 1:
+        state = sp_lib.init_sp_state(params, optimizer, mesh)
     else:
         state = dp.TrainState(params, optimizer.init(params))
         state = dp.replicate_state(state, mesh)
@@ -233,6 +246,9 @@ def train_whisper(
 
     if tensor_parallel > 1:
         step_fn = tp_lib.make_tp_train_step(loss_fn, optimizer, mesh,
+                                            remat=remat)
+    elif seq_parallel > 1:
+        step_fn = sp_lib.make_sp_train_step(loss_fn, optimizer, mesh,
                                             remat=remat)
     else:
         step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
