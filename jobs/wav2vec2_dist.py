@@ -31,6 +31,11 @@ def main() -> None:
     )
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint (extension)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree over a 2-D (data, model)"
+                             " mesh (extension; reference is DP-only)")
+    parser.add_argument("--remat", action="store_true",
+                        help="checkpoint the forward pass (large-model HBM)")
     args = parser.parse_args()
 
     from tethys_tpu.parallel import mesh as mesh_lib
@@ -38,8 +43,14 @@ def main() -> None:
     from tethys_tpu.utils import artifacts
 
     mesh_lib.initialize_distributed()
-    mesh = mesh_lib.make_data_mesh()
-    n_replicas = mesh_lib.num_replicas(mesh)
+    if args.tp > 1:
+        from tethys_tpu.parallel import tp as tp_lib
+
+        mesh = tp_lib.make_2d_mesh(model_parallel=args.tp)
+        n_replicas = dict(mesh.shape)["data"]
+    else:
+        mesh = mesh_lib.make_data_mesh()
+        n_replicas = mesh_lib.num_replicas(mesh)
     global_batch = args.batch_size * n_replicas
     print(f"selected model size: {args.model_size}")
     print(f"batch size per replica: {args.batch_size}, "
@@ -62,6 +73,8 @@ def main() -> None:
             compute_dtype=args.dtype,
             resume=args.resume,
             collective_report=True,
+            tensor_parallel=args.tp,
+            remat=args.remat,
         )
     jct = time.time() - start
     jobs.finalize_job(result, f"wav2vec2_{args.model_size}_model", jct)

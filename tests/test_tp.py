@@ -187,3 +187,30 @@ def test_train_whisper_tensor_parallel_e2e(tmp_path):
     )
     assert result.total_steps == 2
     assert all(np.isfinite(result.losses))
+
+
+def test_train_wav2vec2_tensor_parallel_e2e(tmp_path):
+    """The wav2vec2 --tp job path end to end (2 steps, tiny model,
+    dp=4 x tp=2): conv-stack, quantizer-codebook, and trunk shardings all
+    exercised through the real training entry point."""
+    from tethys_tpu.train import jobs
+
+    result, _, _ = jobs.train_wav2vec2(
+        model_type="pretraining",
+        model_size="tiny",
+        batch_size_per_replica=1,
+        num_batches=2,
+        checkpointing=False,
+        audio_length=4000,
+        config_overrides=dict(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64,
+            conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+            num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=4,
+            num_codevectors_per_group=12, num_codevector_groups=2,
+            codevector_dim=16, proj_codevector_dim=16, num_negatives=6,
+        ),
+        tensor_parallel=2,
+    )
+    assert result.total_steps == 2
+    assert all(np.isfinite(result.losses))

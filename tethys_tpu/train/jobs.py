@@ -311,14 +311,30 @@ def train_wav2vec2(
     profile_values: bool = True,
     resume: bool = False,
     collective_report: bool = False,
+    tensor_parallel: int = 1,
+    remat: bool = False,
 ):
     """End-to-end Wav2Vec2 training job (reference train_wav2vec2,
     speech_jobs/wav2vec2_dist.py:1263-1376).  With `profiler` set, adds the
     tensorsize + in-graph per-value skewness instrumentation of
-    wav2vec2_dist_tensorsize.py."""
-    mesh = mesh or mesh_lib.make_data_mesh()
+    wav2vec2_dist_tensorsize.py.
+
+    `tensor_parallel > 1` trains over a 2-D (data, model) mesh (extension;
+    tp.py's sharding rules cover the wav2vec2 convs, quantizer codebook,
+    and trunk matmuls).  The TP trainer uses global-mean aggregation, not
+    the hardened SUM contract — labeled deviation, same as whisper's."""
+    if tensor_parallel > 1:
+        from tethys_tpu.parallel import tp as tp_lib
+
+        if resume:
+            raise ValueError("resume is not supported with tensor_parallel")
+        mesh = mesh or tp_lib.make_2d_mesh(model_parallel=tensor_parallel)
+    else:
+        mesh = mesh or mesh_lib.make_data_mesh()
     # Each process feeds its local shard; global batch = per-replica × n.
-    data_batch = batch_size_per_replica * max(len(mesh.local_devices), 1)
+    model_par = dict(mesh.shape).get("model", 1)
+    data_batch = batch_size_per_replica * max(
+        len(mesh.local_devices) // model_par, 1)
 
     model, config = wav2vec2_lib.create_full_model(
         model_type, model_size, real_ctc=real_ctc, compute_dtype=compute_dtype,
@@ -327,8 +343,11 @@ def train_wav2vec2(
     rng = jax.random.PRNGKey(seed)
     params = _init_wav2vec2(model, config, rng, model_type)
     optimizer = dp.wav2vec2_optimizer(learning_rate)
-    state = dp.TrainState(params, optimizer.init(params))
-    state = dp.replicate_state(state, mesh)
+    if tensor_parallel > 1:
+        state = tp_lib.init_tp_state(params, optimizer, mesh)
+    else:
+        state = dp.TrainState(params, optimizer.init(params))
+        state = dp.replicate_state(state, mesh)
 
     def loss_fn(params, batch, step_rng):
         features, labels = batch
@@ -410,10 +429,14 @@ def train_wav2vec2(
             grad_aux_fn = lambda grads: tree_value_skewness(  # noqa: E731
                 grads, "gradient")
 
-    step_fn = dp.make_train_step(
-        loss_fn, optimizer, mesh, hardened=True,
-        return_aux=return_aux, grad_aux_fn=grad_aux_fn,
-    )
+    if tensor_parallel > 1:
+        step_fn = tp_lib.make_tp_train_step(loss_fn, optimizer, mesh,
+                                            remat=remat)
+    else:
+        step_fn = dp.make_train_step(
+            loss_fn, optimizer, mesh, hardened=True,
+            return_aux=return_aux, grad_aux_fn=grad_aux_fn,
+        )
     if collective_report:
         gbatch = batch_size_per_replica * mesh_lib.num_replicas(mesh)
         _emit_collective_report(
