@@ -29,6 +29,9 @@ _FLASH_MIN_SEQ = int(_os.environ.get("TETHYS_FLASH_MIN_SEQ", "512"))
 # queries are matvecs — the XLA path is both faster and avoids a fresh
 # multi-minute Mosaic kernel compile per decode shape.
 _FLASH_MIN_TQ = int(_os.environ.get("TETHYS_FLASH_MIN_TQ", "16"))
+# Take the flash path even off-TPU (pallas interpret mode) — lets CPU-mesh
+# tests and the driver dry-run exercise the flash+GSPMD composition.
+_FLASH_FORCE = _os.environ.get("TETHYS_FLASH_FORCE", "") == "1"
 
 
 def _on_tpu() -> bool:
@@ -40,9 +43,9 @@ def _on_tpu() -> bool:
 def flash_active(use_flash: bool, tq: int, tk: int) -> bool:
     """Whether multi_head_attention will take the pallas flash path for
     these sequence lengths (used by callers to pre-pad once per pass)."""
-    return use_flash and _on_tpu() and tq >= _FLASH_MIN_TQ and (
-        tq >= _FLASH_MIN_SEQ or tk >= _FLASH_MIN_SEQ
-    )
+    return use_flash and (_on_tpu() or _FLASH_FORCE) and (
+        tq >= _FLASH_MIN_TQ
+    ) and (tq >= _FLASH_MIN_SEQ or tk >= _FLASH_MIN_SEQ)
 
 
 def multi_head_attention(
@@ -91,11 +94,15 @@ def _xla_attention(query, key, value, bias, dropout_rate, dropout_rng,
         scores = jnp.where(col[None, None, None, :] < kv_len, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
     if not deterministic and dropout_rate > 0.0:
-        if _on_tpu():
+        from tethys_tpu.ops.pallas_dropout import auto_axes_in_scope
+
+        if _on_tpu() and not auto_axes_in_scope():
             # On-core-PRNG dropout kernel on the compute-dtype probs: XLA's
             # bernoulli lowers to a threefry keystream + materialized mask
             # over the full [B, H, Tq, Tk] score tensor, a measurable slice
             # of the short-sequence (T=100) wav2vec2 attention cost.
+            # (Under auto-sharded mesh axes — TP/SP — the sharding-invariant
+            # jax.random path below runs instead; see pallas_dropout.)
             from tethys_tpu.ops.pallas_dropout import (
                 fused_dropout, seed_from_rng,
             )

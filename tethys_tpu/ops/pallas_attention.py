@@ -32,6 +32,7 @@ masked-k handling.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -48,12 +49,25 @@ MAX_BLOCK_K = 2048
 NEG_INF = -1e30
 
 
-def _block_sizes(tq: int, tk: int):
-    bq = min(MAX_BLOCK_Q, -(-tq // 128) * 128)
-    bk = min(MAX_BLOCK_K, -(-tk // 128) * 128)
-    return bq, bk
+def _fit_block(t: int, max_block: int) -> int:
+    """Largest 128-multiple block <= max_block that tiles ceil128(t) evenly.
 
-_INTERPRET = False  # set True (tests) to run kernels in interpreter mode
+    Preferring an exact divisor over the plain min() keeps sequence-parallel
+    LOCAL shard lengths (e.g. 1536/2 = 768) pad-free: 768 gets block 384
+    instead of 512-with-256-padding."""
+    tpad = -(-t // 128) * 128
+    for b in range(min(max_block, tpad), 127, -128):
+        if tpad % b == 0:
+            return b
+    return 128
+
+
+def _block_sizes(tq: int, tk: int):
+    return _fit_block(tq, MAX_BLOCK_Q), _fit_block(tk, MAX_BLOCK_K)
+
+# True -> run kernels in pallas interpreter mode (tests set this directly;
+# the env knob serves subprocess runs like the driver's multichip dry-run).
+_INTERPRET = os.environ.get("TETHYS_PALLAS_INTERPRET", "") == "1"
 
 
 def supported(query, key, value, bias) -> bool:
@@ -71,7 +85,15 @@ def _seed_for_block(base_seed, b, i, j):
 
 
 def _dropout_mask(base_seed, b, i, j, shape, rate: float):
-    pltpu.prng_seed(_seed_for_block(base_seed, b, i, j))
+    seed = _seed_for_block(base_seed, b, i, j)
+    if _INTERPRET:
+        # pltpu.prng_seed has no CPU lowering; interpret mode draws the mask
+        # via jax.random instead.  Same per-block seed formula, so forward
+        # and backward still agree (values differ from the TPU keystream —
+        # interpret is test-only).
+        key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
+        return jax.random.uniform(key, shape) >= rate
+    pltpu.prng_seed(seed)
     # prng_random_bits yields int32 bit patterns; reinterpret as uint32
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = np.uint32(min(int(rate * (2 ** 32)), 2 ** 32 - 1))
@@ -425,23 +447,254 @@ def _flash_bwd(q, k, v, o, lse, do, seed, dropout_rate: float, kv_len: int):
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper on padded [BH, T, D] layout
+# GSPMD partitioning (jax.experimental.custom_partitioning)
+#
+# The pallas kernels are opaque custom calls GSPMD cannot split on its own
+# (the round-2 gap: `--tp` handed the partitioner an unpartitionable call on
+# the hot path).  Attention is independent per (batch, head) and — once K/V
+# are full-length — per query row, so we teach the partitioner exactly that:
+#
+#   * batch / head / query-length dims of q may be sharded (TP shards heads,
+#     SP shards the query rows, DP shards batch),
+#   * key-length and head_dim are force-gathered (arg_shardings below),
+#   * in the backward, dk/dv computed from a query shard are partial sums —
+#     psum'd over the mesh axes the query length is sharded on.
+#
+# Two sharding representations reach the callbacks: NamedSharding (top-level
+# jit over a mesh) with a usable .spec, and GSPMDSharding (inside a
+# partial-manual shard_map region, e.g. the hardened trainer's auto 'model'
+# axis) where only HLO tile dims are visible and mesh axis names are NOT in
+# scope.  In the latter case sharded batch/head dims pass through unchanged
+# (no collectives needed); anything else falls back to full replication —
+# correct, never fast-and-wrong.
+#
+# Dropout note: in-kernel PRNG seeds use LOCAL (shard) block coordinates, so
+# the drawn mask depends on the sharding layout (head-shards at equal local
+# offsets reuse mask blocks).  Each element is still Bernoulli(rate) and the
+# forward/backward masks agree because both callbacks derive the partitioning
+# from q's sharding with the same formula; cross-shard mask correlation is a
+# documented statistical quirk, not an error.
+
+from jax.experimental.custom_partitioning import custom_partitioning
+
+
+def _spec4(sharding):
+    """PartitionSpec entries padded to rank 4, or None if unavailable."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        return None
+    out = list(spec) + [None] * (4 - len(spec))
+    return out[:4]
+
+
+def _hlo_sharded_dims(sharding, ndim):
+    hlo = getattr(sharding, "_hlo_sharding", None)
+    if hlo is None or hlo.is_replicated():
+        return []
+    dims = list(hlo.tile_assignment_dimensions())
+    return [i for i in range(min(ndim, len(dims))) if dims[i] > 1]
+
+
+def _replicated_like(sharding):
+    from jax._src.sharding_impls import GSPMDSharding
+
+    return GSPMDSharding.get_replicated(sharding._device_assignment)
+
+
+def _axis_tuple(entry):
+    if entry is None:
+        return ()
+    if isinstance(entry, (tuple, list)):
+        return tuple(entry)
+    return (entry,)
+
+
+def _pad_rows(x3, block):
+    """Pad [BH, T, D]/[BH, 8, T] rows so the local shard tiles evenly (a
+    no-op at the entry-point-padded global shapes; only sequence shards with
+    odd local lengths pay it)."""
+    t = x3.shape[1]
+    tpad = -(-t // block) * block
+    return _pad_to(x3, tpad, 1), t
+
+
+def _fwd4(q, k, v, seed_arr, *, dropout_rate: float, kv_len: int):
+    """Local (per-shard) forward on the [B, H, T, D] layout."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq, bk = _block_sizes(tq, tk)
+    q3, _ = _pad_rows(q.reshape(b * h, tq, d), bq)
+    k3, _ = _pad_rows(k.reshape(b * h, tk, d), bk)
+    v3, _ = _pad_rows(v.reshape(b * h, tk, d), bk)
+    o, lse = _flash_fwd(q3, k3, v3, seed_arr, dropout_rate, kv_len)
+    return (o[:, :tq].reshape(b, h, tq, d),
+            lse[:, :, :tq].reshape(b, h, 8, tq))
+
+
+def _bwd4(q, k, v, o, lse, do, seed_arr, *, dropout_rate: float, kv_len: int):
+    """Local (per-shard) backward; dk/dv are PARTIAL over local q rows."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq, bk = _block_sizes(tq, tk)
+    q3, _ = _pad_rows(q.reshape(b * h, tq, d), bq)
+    o3, _ = _pad_rows(o.reshape(b * h, tq, d), bq)
+    do3, _ = _pad_rows(do.reshape(b * h, tq, d), bq)
+    k3, _ = _pad_rows(k.reshape(b * h, tk, d), bk)
+    v3, _ = _pad_rows(v.reshape(b * h, tk, d), bk)
+    lse3 = lse.reshape(b * h, 8, tq)
+    if q3.shape[1] != tq:
+        # padded q rows: keep their p = exp(s - lse) at exactly 0
+        lse3 = _pad_to(lse3, q3.shape[1], 2)
+        lse3 = jnp.where(
+            jnp.arange(q3.shape[1])[None, None, :] < tq, lse3, 1.0)
+    dq, dk, dv = _flash_bwd(q3, k3, v3, o3, lse3, do3, seed_arr,
+                            dropout_rate, kv_len)
+    return (dq[:, :tq].reshape(b, h, tq, d),
+            dk[:, :tk].reshape(b, h, tk, d),
+            dv[:, :tk].reshape(b, h, tk, d))
+
+
+def _fwd_shardings(mesh, q_sharding):
+    """(q/o, kv, lse, seed) shardings + the axes q's length is sharded on,
+    or None when the NamedSharding path does not apply."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = _spec4(q_sharding)
+    if spec is None or mesh is None or not getattr(mesh, "axis_names", ()):
+        return None
+    b, h, tq = spec[0], spec[1], spec[2]
+    return dict(
+        q=NamedSharding(mesh, P(b, h, tq, None)),
+        kv=NamedSharding(mesh, P(b, h, None, None)),
+        lse=NamedSharding(mesh, P(b, h, None, tq)),
+        seed=NamedSharding(mesh, P(None)),
+        tq_axes=_axis_tuple(tq),
+    )
+
+
+def _passthrough_ok(shardings):
+    """GSPMDSharding path: partitionable iff only batch/head dims split."""
+    return all(set(_hlo_sharded_dims(s, 4)) <= {0, 1} for s in shardings)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fwd_cp(dropout_rate: float, kv_len: int):
+    def impl(q, k, v, seed_arr):
+        return _fwd4(q, k, v, seed_arr, dropout_rate=dropout_rate,
+                     kv_len=kv_len)
+
+    cp = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        sh = _fwd_shardings(mesh, arg_shapes[0].sharding)
+        if sh is not None:
+            return (sh["q"], sh["lse"])
+        q_sh = arg_shapes[0].sharding
+        if _passthrough_ok([q_sh]):
+            return (q_sh, q_sh)
+        rep = _replicated_like(q_sh)
+        return (rep, rep)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = arg_shapes[0].sharding
+        sh = _fwd_shardings(mesh, q_sh)
+        if sh is not None:
+            args = (sh["q"], sh["kv"], sh["kv"], sh["seed"])
+            outs = (sh["q"], sh["lse"])
+        elif _passthrough_ok([a.sharding for a in arg_shapes[:3]]):
+            seed_sh = arg_shapes[3].sharding
+            args = (q_sh, q_sh, q_sh, seed_sh)
+            outs = (q_sh, q_sh)
+        else:
+            rep = _replicated_like(q_sh)
+            args = (rep,) * 4
+            outs = (rep, rep)
+        return mesh, impl, outs, args
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b h q d, b h k d, b h k d, s -> b h q d, b h r q",
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bwd_cp(dropout_rate: float, kv_len: int):
+    def impl(q, k, v, o, lse, do, seed_arr):
+        return _bwd4(q, k, v, o, lse, do, seed_arr,
+                     dropout_rate=dropout_rate, kv_len=kv_len)
+
+    cp = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = arg_shapes[0].sharding
+        sh = _fwd_shardings(mesh, q_sh)
+        if sh is not None:
+            return (sh["q"], sh["kv"], sh["kv"])
+        if _passthrough_ok([q_sh]):
+            return (q_sh, arg_shapes[1].sharding, arg_shapes[2].sharding)
+        rep = _replicated_like(q_sh)
+        return (rep, rep, rep)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = arg_shapes[0].sharding
+        sh = _fwd_shardings(mesh, q_sh)
+        if sh is not None:
+            args = (sh["q"], sh["kv"], sh["kv"], sh["q"], sh["lse"],
+                    sh["q"], sh["seed"])
+            outs = (sh["q"], sh["kv"], sh["kv"])
+            tq_axes = sh["tq_axes"]
+
+            def lower_fn(q, k, v, o, lse, do, seed_arr):
+                dq, dk, dv = impl(q, k, v, o, lse, do, seed_arr)
+                if tq_axes:
+                    # dk/dv from a query shard are partial sums
+                    dk = jax.lax.psum(dk, tq_axes)
+                    dv = jax.lax.psum(dv, tq_axes)
+                return dq, dk, dv
+
+            return mesh, lower_fn, outs, args
+        if _passthrough_ok([a.sharding for a in arg_shapes[:6]]):
+            k_sh, v_sh = arg_shapes[1].sharding, arg_shapes[2].sharding
+            args = (q_sh, k_sh, v_sh, q_sh, arg_shapes[4].sharding, q_sh,
+                    arg_shapes[6].sharding)
+            outs = (q_sh, k_sh, v_sh)
+            return mesh, impl, outs, args
+        rep = _replicated_like(q_sh)
+        return mesh, impl, (rep,) * 3, (rep,) * 7
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=("b h q d, b h k d, b h k d, b h q d, b h r q, "
+                       "b h q d, s -> b h q d, b h k d, b h k d"),
+    )
+    return cp
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper on the padded [B, H, T, D] layout
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, seed_arr, dropout_rate: float, kv_len: int):
-    o, _ = _flash_fwd(q, k, v, seed_arr, dropout_rate, kv_len)
+    o, _ = _make_fwd_cp(dropout_rate, kv_len)(q, k, v, seed_arr)
     return o
 
 
 def _flash_fwd_rule(q, k, v, seed_arr, dropout_rate, kv_len):
-    o, lse = _flash_fwd(q, k, v, seed_arr, dropout_rate, kv_len)
+    o, lse = _make_fwd_cp(dropout_rate, kv_len)(q, k, v, seed_arr)
     return o, (q, k, v, o, lse, seed_arr)
 
 
 def _flash_bwd_rule(dropout_rate, kv_len, residuals, do):
     q, k, v, o, lse, seed_arr = residuals
-    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, seed_arr,
-                            dropout_rate, kv_len)
+    dq, dk, dv = _make_bwd_cp(dropout_rate, kv_len)(
+        q, k, v, o, lse, do, seed_arr)
     # seed is integer-valued: its cotangent has dtype float0
     return dq, dk, dv, np.zeros(seed_arr.shape, dtype=jax.dtypes.float0)
 
@@ -482,7 +735,11 @@ def flash_attention(
     seed=0,             # python int or traced int32 scalar
     kv_len: Optional[int] = None,  # true KV length when key/value are padded
 ) -> jax.Array:
-    """Flash attention entry point on the [B, H, T, D] layout."""
+    """Flash attention entry point on the [B, H, T, D] layout.
+
+    The B, H and Tq dims may carry GSPMD shardings (TP head sharding, SP
+    query-row sharding, DP batch sharding) — the custom_partitioning wrappers
+    above split the kernel accordingly; Tk and D are gathered."""
     assert bias is None, "flash path handles bias-free attention only"
     b, h, tq, d = query.shape
     tk = key.shape[2]
@@ -492,10 +749,10 @@ def flash_attention(
     bq, bk = _block_sizes(tq, tk)
     tq_pad = -(-tq // bq) * bq
     tk_pad = -(-tk // bk) * bk
-    q = _pad_to(query.reshape(b * h, tq, d), tq_pad, 1)
-    k = _pad_to(key.reshape(b * h, tk, d), tk_pad, 1)
-    v = _pad_to(value.reshape(b * h, tk, d), tk_pad, 1)
+    q = _pad_to(query, tq_pad, 2)
+    k = _pad_to(key, tk_pad, 2)
+    v = _pad_to(value, tk_pad, 2)
 
     seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
-    o = _flash(q, k, v, seed_arr, float(dropout_rate), kv_len)
-    return o[:, :tq, :].reshape(b, h, tq, d)
+    o = _flash(q, k, v, seed_arr, float(dropout_rate), int(kv_len))
+    return o[:, :, :tq, :]

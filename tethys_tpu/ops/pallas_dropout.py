@@ -52,22 +52,105 @@ def _run(x2d, seed_arr, rate):
     )(seed_arr, x2d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _dropout2d(x2d, seed_arr, rate: float):
+def _dropout2d_local(x2d, seed_arr, rate: float):
+    """Per-shard kernel application (the mask depends on the local block
+    layout, so fwd/bwd must see identically-laid-out shards — guaranteed by
+    the force-replicate partitioning below)."""
     return _run(x2d, seed_arr, rate)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_dropout_cp(rate: float):
+    """GSPMD handler for the dropout kernel (it is an opaque custom call the
+    partitioner cannot split).  Supported trainers never reach this under
+    auto-sharding — `auto_axes_in_scope()` gates them onto the XLA path — so
+    this is a correctness safety net: gather, run the globally-consistent
+    kernel, let GSPMD re-shard.  Never fast-and-wrong."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(x2d, seed_arr):
+        return _run(x2d, seed_arr, rate)
+
+    cp = custom_partitioning(impl)
+
+    def _replicated(sharding):
+        from jax._src.sharding_impls import GSPMDSharding
+
+        return GSPMDSharding.get_replicated(sharding._device_assignment)
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        s = arg_shapes[0].sharding
+        hlo = getattr(s, "_hlo_sharding", None)
+        if hlo is None or hlo.is_replicated():
+            return s
+        spec = getattr(s, "spec", None)
+        if spec is not None and mesh is not None and mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return NamedSharding(mesh, P())
+        return _replicated(s)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        s = arg_shapes[0].sharding
+        spec = getattr(s, "spec", None)
+        if spec is not None and mesh is not None and mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+        else:
+            rep = _replicated(s)
+        return mesh, impl, rep, (rep, rep)
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="r c, s -> r c",
+    )
+    return cp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dropout2d(x2d, seed_arr, rate: float):
+    return _make_dropout_cp(rate)(x2d, seed_arr)
+
+
 def _fwd(x2d, seed_arr, rate):
-    return _run(x2d, seed_arr, rate), seed_arr
+    return _make_dropout_cp(rate)(x2d, seed_arr), seed_arr
 
 
 def _bwd(rate, seed_arr, g):
-    # identical mask (same seed, same block partition — shapes are static)
-    return _run(g, seed_arr, rate), np.zeros(seed_arr.shape,
-                                             dtype=jax.dtypes.float0)
+    # identical mask (same seed, same block partition — shapes are static,
+    # and the partitioning is canonical: replicated under GSPMD)
+    return _make_dropout_cp(rate)(g, seed_arr), np.zeros(
+        seed_arr.shape, dtype=jax.dtypes.float0)
 
 
 _dropout2d.defvjp(_fwd, _bwd)
+
+
+def auto_axes_in_scope() -> bool:
+    """True when tracing inside a mesh region with a multi-device non-Manual
+    axis (e.g. the hardened trainer's auto 'model'/'seq' axis): GSPMD may
+    shard the arrays there, so callers route dropout to the XLA
+    `jax.random` path — whose values are sharding-invariant by design —
+    instead of the layout-dependent pallas kernel."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:  # noqa: BLE001 — no mesh machinery: plain eager/jit
+        return False
+    if not getattr(am, "axis_names", ()):
+        return False
+    try:
+        from jax.sharding import AxisType
+
+        return any(
+            t != AxisType.Manual and am.shape[name] > 1
+            for name, t in zip(am.axis_names, am.axis_types)
+        )
+    except Exception:  # noqa: BLE001 — API drift: be conservative
+        return True
 
 
 def seed_from_rng(rng: jax.Array) -> jax.Array:
@@ -107,7 +190,7 @@ def module_dropout(module, x: jax.Array, rate: float,
         on_tpu = jax.default_backend() == "tpu"
     except Exception:  # noqa: BLE001
         on_tpu = False
-    if on_tpu and x.size >= 1 << 14:
+    if on_tpu and x.size >= 1 << 14 and not auto_axes_in_scope():
         return fused_dropout(x, rate, seed_from_rng(module.make_rng("dropout")))
     import flax.linen as nn
 

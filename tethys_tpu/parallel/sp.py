@@ -16,11 +16,12 @@ encoder when a sequence-parallel step is being traced).  XLA then
   the 'seq' axis (all-gather on ICI) — each device computes its own
   [T/seq, T] score rows, so score memory also drops by the seq factor.
 
-The pallas flash kernel is a custom call GSPMD cannot partition, so the
-sequence-parallel path pairs with the XLA attention path (flash stays for
-the single-chip/data-parallel configuration); a hand-written shard_map
-ring-attention kernel is the known next step if both are ever needed at
-once.
+The pallas flash kernel composes with this mesh: it is an opaque custom
+call GSPMD cannot split on its own, so `ops/pallas_attention.py` wraps it
+in `jax.experimental.custom_partitioning` — query rows shard over 'seq'
+(K/V gathered across the axis, dk/dv psum'd in the backward), heads over
+'model', batch over 'data'.  Verified numerically equal to the unsharded
+kernel for every trainer layout in `tests/test_flash_partition.py`.
 """
 
 from __future__ import annotations
