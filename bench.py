@@ -63,7 +63,8 @@ def _build_wav2vec2(args, jax, jnp, dp, host_cpu_context):
     from tethys_tpu.models.wav2vec2 import create_full_model, pretraining_loss
 
     model, config = create_full_model(
-        "pretraining", args.model, compute_dtype=args.dtype)
+        "pretraining", args.model, compute_dtype=args.dtype,
+        scan_layers=getattr(args, "scan_layers", False))
     rng = jax.random.PRNGKey(0)
     np_rng = np.random.default_rng(0)
     audio = jnp.asarray(
@@ -204,6 +205,9 @@ def main() -> None:
     parser.add_argument("--model", type=str, default="base")
     parser.add_argument("--family", type=str, default="both",
                         choices=["both", "whisper", "wav2vec2"])
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="wav2vec2: run the encoder as nn.scan over "
+                             "[L, ...]-stacked params (A/B vs unrolled)")
     parser.add_argument("--flat_opt", action="store_true",
                         help="use the flat-buffer optimizer path "
                              "(parallel/flat.py) instead of the per-tensor "

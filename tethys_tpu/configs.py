@@ -160,6 +160,11 @@ class Wav2Vec2Config:
 
     # TPU additions.
     compute_dtype: str = "float32"
+    # Stack the identical encoder layers as [L, ...] params and run them via
+    # nn.scan (one compiled layer body, weight-grads accumulated per
+    # iteration) instead of 12 unrolled copies.  Same math; layouts are
+    # interconvertible via models.wav2vec2.stack_layer_params/unstack.
+    scan_layers: bool = False
 
     @property
     def dtype(self):

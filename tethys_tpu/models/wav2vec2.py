@@ -177,28 +177,53 @@ class Wav2Vec2Encoder(nn.Module):
     def __call__(self, x: jax.Array, attention_mask=None,
                  deterministic: bool = True) -> Dict[str, jax.Array]:
         cfg = self.config
-        if cfg.use_weighted_layer_sum:
+        if cfg.scan_layers:
+            x, stacked = self._scanned_layers(x, attention_mask, deterministic)
+            if cfg.use_weighted_layer_sum:
+                x = self._weighted_layer_sum(stacked)
+        elif cfg.use_weighted_layer_sum:
             layer_outputs = []
             for i in range(cfg.num_hidden_layers):
                 x = Wav2Vec2EncoderLayer(cfg, name=f"layers_{i}")(
                     x, attention_mask, deterministic=deterministic
                 )
                 layer_outputs.append(x)
-            weights = self.param(
-                "layer_weights",
-                lambda key, shape: jnp.full(shape, 1.0 / cfg.num_hidden_layers),
-                (cfg.num_hidden_layers,),
-            )
-            norm_weights = jax.nn.softmax(weights, axis=-1)
-            stacked = jnp.stack(layer_outputs, axis=0)  # [L, B, T, H]
-            x = jnp.einsum("l,lbth->bth", norm_weights.astype(stacked.dtype),
-                           stacked)
+            x = self._weighted_layer_sum(jnp.stack(layer_outputs, axis=0))
         else:
             for i in range(cfg.num_hidden_layers):
                 x = Wav2Vec2EncoderLayer(cfg, name=f"layers_{i}")(
                     x, attention_mask, deterministic=deterministic
                 )
         return {"last_hidden_state": x}
+
+    def _scanned_layers(self, x, attention_mask, deterministic):
+        """Run the identical layers as one nn.scan over [L, ...]-stacked
+        params: the layer body compiles once and the per-layer weight-grad
+        dots accumulate into the stacked buffers (cfg.scan_layers)."""
+        cfg = self.config
+
+        def body(layer: Wav2Vec2EncoderLayer, carry):
+            out = layer(carry, attention_mask, deterministic=deterministic)
+            return out, (out if cfg.use_weighted_layer_sum else None)
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.num_hidden_layers,
+        )
+        return scan(Wav2Vec2EncoderLayer(cfg, name="layers"), x)
+
+    def _weighted_layer_sum(self, stacked):
+        cfg = self.config
+        weights = self.param(
+            "layer_weights",
+            lambda key, shape: jnp.full(shape, 1.0 / cfg.num_hidden_layers),
+            (cfg.num_hidden_layers,),
+        )
+        norm_weights = jax.nn.softmax(weights, axis=-1)
+        return jnp.einsum("l,lbth->bth", norm_weights.astype(stacked.dtype),
+                          stacked)
 
 
 class Wav2Vec2ProjectionHead(nn.Module):
@@ -431,6 +456,59 @@ class Wav2Vec2ForSequenceClassification(nn.Module):
         if training and labels is not None:
             loss = losses.classification_loss(logits, labels)
         return {"loss": loss, "logits": logits}
+
+
+def stack_layer_params(params):
+    """Convert an unrolled encoder param tree (`layers_0`..`layers_{L-1}`)
+    to the scan layout (`layers` with [L, ...]-stacked leaves).  Works on any
+    subtree containing a wav2vec2 `encoder` dict; other entries untouched."""
+    return _map_encoder(params, _stack_encoder)
+
+
+def unstack_layer_params(params):
+    """Inverse of `stack_layer_params`."""
+    return _map_encoder(params, _unstack_encoder)
+
+
+def _map_encoder(tree, fn):
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for key, value in tree.items():
+        if key == "encoder" and isinstance(value, dict) and any(
+            k == "layers" or k.startswith("layers_") for k in value
+        ):
+            out[key] = fn(value)
+        else:
+            out[key] = _map_encoder(value, fn)
+    return out
+
+
+def _stack_encoder(encoder):
+    layer_keys = sorted(
+        (k for k in encoder if k.startswith("layers_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    if not layer_keys:
+        return encoder
+    out = {k: v for k, v in encoder.items() if not k.startswith("layers_")}
+    out["layers"] = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves, axis=0),
+        *(encoder[k] for k in layer_keys),
+    )
+    return out
+
+
+def _unstack_encoder(encoder):
+    if "layers" not in encoder:
+        return encoder
+    out = {k: v for k, v in encoder.items() if k != "layers"}
+    stacked = encoder["layers"]
+    num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(num_layers):
+        out[f"layers_{i}"] = jax.tree_util.tree_map(
+            lambda leaf, i=i: leaf[i], stacked)
+    return out
 
 
 def create_full_model(

@@ -44,7 +44,10 @@ def make_2d_mesh(num_devices: Optional[int] = None,
 
 
 # Megatron-style sharding rules keyed on flax param path suffixes.
-# Each rule: (path predicate, PartitionSpec for the kernel).
+# Each rule returns the spec for the UNSTACKED leaf; when the leaf carries a
+# leading scan-over-layers stack dim ([L, ...] under an `nn.scan`'d "layers"
+# collection), a leading None is prepended so the rule still lands on the
+# right tensor dims.
 def _spec_for(path: Tuple[str, ...], leaf) -> P:
     names = [str(p) for p in path]
     joined = "/".join(names)
@@ -52,39 +55,45 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
     def last_is(*keys):
         return any(joined.endswith(k) for k in keys)
 
+    def rule(expected_rank: int, *spec_entries) -> P:
+        ndim = getattr(leaf, "ndim", expected_rank)
+        if ndim == expected_rank + 1 and "layers" in names:
+            return P(None, *spec_entries)
+        return P(*spec_entries)
+
     # Column-parallel: output dim sharded.
     if last_is("q_proj/kernel", "k_proj/kernel", "v_proj/kernel",
                "fc1/kernel", "intermediate_dense/kernel"):
-        return P(None, "model")
+        return rule(2, None, "model")
     if last_is("q_proj/bias", "k_proj/bias", "v_proj/bias",
                "fc1/bias", "intermediate_dense/bias"):
-        return P("model")
+        return rule(1, "model")
     # Row-parallel: input dim sharded (output all-reduced by XLA).
     if last_is("out_proj/kernel", "fc2/kernel", "output_dense/kernel"):
-        return P("model", None)
+        return rule(2, "model", None)
     # Vocab-sharded embedding / LM head.
     if last_is("embed_tokens/embedding"):
-        return P("model", None)
+        return rule(2, "model", None)
     if last_is("lm_head/kernel"):
-        return P(None, "model")
+        return rule(2, None, "model")
     # Conv kernels [k, in, out]: shard output channels (whisper conv1/conv2,
     # wav2vec2 feature-extractor convs; the grouped pos_conv_embed stays
     # replicated — channel-sharding grouped convs fights GSPMD).
     if (last_is("conv1/kernel", "conv2/kernel")
             or any(n.startswith("conv_") for n in names) and joined.endswith("kernel")):
         if "pos_conv_embed" not in joined:
-            return P(None, None, "model")
+            return rule(3, None, None, "model")
     if last_is("conv1/bias", "conv2/bias"):
-        return P("model")
+        return rule(1, "model")
     # Quantizer: codebook [G, V, d] sharded over codevectors; its input
     # projection column-parallel (distance argmin over the sharded V dim is
     # reduced by GSPMD).
     if last_is("quantizer/codevectors"):
-        return P(None, "model", None)
+        return rule(3, None, "model", None)
     if last_is("project_to_codevector_dim/kernel"):
-        return P(None, "model")
+        return rule(2, None, "model")
     if last_is("project_to_codevector_dim/bias"):
-        return P("model")
+        return rule(1, "model")
     return P()  # replicate everything else (norms, small heads)
 
 
