@@ -2,8 +2,10 @@
 
 Measures whisper-base autoregressive generation on one chip — encode a
 batch of 30 s log-mel inputs, then greedy-decode `--length` tokens through
-`models.whisper.greedy_generate` (jit'd whole: encoder + lax.while_loop over
-cached single-token decode steps).  Prints one JSON line:
+`models.whisper.greedy_generate` (jit'd whole: encoder + a fixed-length
+lax.scan over cached single-token decode steps with a done-mask — every run
+executes exactly `--length` steps regardless of EOS; the while_loop form
+never survived the remote compiler).  Prints one JSON line:
 
     {"metric": "whisper_base_decode_tokens_per_sec_per_chip", ...}
 

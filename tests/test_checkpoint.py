@@ -76,6 +76,55 @@ def test_resume_equals_uninterrupted(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_tp_sharded_resume_equals_uninterrupted(tmp_path):
+    """Round-3 extension (VERDICT item 5): save@2 + restore_like into the
+    live TP state's Megatron shardings + 2 more steps == 4 straight TP
+    steps — `--tp 2 --resume` round-trips with sharded params."""
+    import optax
+
+    from tethys_tpu.parallel import tp
+
+    mesh = tp.make_2d_mesh(8, model_parallel=2)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((8, 4)).astype(np.float32)
+    y = rng.standard_normal((8, 16)).astype(np.float32)
+    params = {"fc1": {"kernel": jnp.asarray(
+        rng.standard_normal((4, 16)).astype(np.float32))}}
+
+    def loss_fn(p, batch, rng_):
+        xb, yb = batch
+        return jnp.mean((xb @ p["fc1"]["kernel"] - yb) ** 2), {}
+
+    opt = optax.adam(1e-2)
+    step = tp.make_tp_train_step(loss_fn, opt, mesh, hardened=True)
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    keys = [jax.random.PRNGKey(i) for i in range(4)]
+    mgr = CheckpointManager(str(tmp_path / "c"))
+
+    s = tp.init_tp_state(params, opt, mesh)
+    for k in keys:
+        s, _ = step(s, batch, k)
+    straight = jax.device_get(s)
+
+    s = tp.init_tp_state(params, opt, mesh)
+    for k in keys[:2]:
+        s, _ = step(s, batch, k)
+    mgr.save("tp_step_2", s)
+
+    fresh = tp.init_tp_state(params, opt, mesh)  # pre-sharded live state
+    restored = mgr.restore_like("tp_step_2", fresh)
+    k_arr = restored.params["fc1"]["kernel"]
+    assert {sh.data.shape for sh in k_arr.addressable_shards} == {(4, 8)}, \
+        "restore_like must land params in their Megatron shardings"
+    for k in keys[2:]:
+        restored, _ = step(restored, batch, k)
+    resumed = jax.device_get(restored)
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_final_weights_save(tmp_path, monkeypatch):
     monkeypatch.setenv("TETHYS_WORKSPACE", str(tmp_path))
     params = {"w": jnp.ones((2, 2))}

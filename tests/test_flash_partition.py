@@ -181,8 +181,14 @@ def _force_flash():
     attn._FLASH_FORCE, attn._FLASH_MIN_SEQ = saved
 
 
-def _plain_sgd_step(model, params, feats, labels, rng):
+def _dp_sgd_step(model, params, feats, labels, rng, n_data):
+    """Reference-semantics golden: the DP step (SUM-of-replica-losses) on an
+    n_data-device mesh — the TP/SP trainers share its aggregation contract
+    since round 3."""
     import optax
+
+    from tethys_tpu.parallel import dp
+    from tethys_tpu.parallel.mesh import make_data_mesh
 
     opt = optax.sgd(1e-2)
 
@@ -191,14 +197,13 @@ def _plain_sgd_step(model, params, feats, labels, rng):
         out = model.apply({"params": p}, f, labels=l, deterministic=True)
         return out["loss"], {}
 
-    def step(params, batch):
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, batch, rng), has_aux=True)(params)
-        updates, _ = opt.update(grads, opt.init(params), params)
-        return optax.apply_updates(params, updates), loss
-
-    p, loss = jax.jit(step)(params, (feats, labels))
-    return opt, loss_fn, p, loss
+    params_host = jax.device_get(params)  # the DP step donates its state
+    mesh = make_data_mesh(n_data)
+    state = dp.replicate_state(
+        dp.TrainState(params_host, opt.init(params_host)), mesh)
+    step = dp.make_train_step(loss_fn, opt, mesh, hardened=False)
+    out, loss = step(state, dp.shard_batch((feats, labels), mesh), rng)
+    return opt, loss_fn, jax.device_get(out.params), loss
 
 
 def test_sp_trainer_step_with_flash_matches_plain(_force_flash):
@@ -211,8 +216,8 @@ def test_sp_trainer_step_with_flash_matches_plain(_force_flash):
     model, params, feats, labels = _tiny_whisper()
     assert model.config.use_flash_attention
     rng = jax.random.PRNGKey(7)
-    opt, loss_fn, p_plain, loss_plain = _plain_sgd_step(
-        model, params, feats, labels, rng)
+    opt, loss_fn, p_plain, loss_plain = _dp_sgd_step(
+        model, params, feats, labels, rng, n_data=2)
 
     mesh = sp.make_seq_mesh(8, seq_parallel=4)
     state = sp.init_sp_state(params, opt, mesh)
@@ -234,8 +239,8 @@ def test_tp_trainer_step_with_flash_matches_plain(_force_flash):
 
     model, params, feats, labels = _tiny_whisper()
     rng = jax.random.PRNGKey(7)
-    opt, loss_fn, p_plain, loss_plain = _plain_sgd_step(
-        model, params, feats, labels, rng)
+    opt, loss_fn, p_plain, loss_plain = _dp_sgd_step(
+        model, params, feats, labels, rng, n_data=4)
 
     mesh = tp.make_2d_mesh(8, model_parallel=2)
     state = tp.init_tp_state(params, opt, mesh)

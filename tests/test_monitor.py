@@ -31,6 +31,17 @@ def test_bridge_window_expiry(tmp_path):
     assert bridge._utilization_percent() == 0
 
 
+def test_bridge_idle_decays_to_zero(tmp_path):
+    """VERDICT r2 item 9: a process that stops stepping must report ~0%
+    util — the read path prunes stale entries itself, without waiting for
+    another note_step call."""
+    bridge = MonitorBridge(path=str(tmp_path / "m"), window_s=0.1)
+    bridge.note_step(0, 1.0, 0.09)
+    assert bridge._utilization_percent() > 0
+    time.sleep(0.2)  # go idle: NO further note_step
+    assert bridge._utilization_percent() == 0
+
+
 MONITOR_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tethys_tpu", "monitor",

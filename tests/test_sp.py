@@ -1,18 +1,23 @@
 """Sequence-parallel trainer (parallel/sp.py) on the 8-device CPU mesh.
 
-The SP step must be a pure reformulation: same losses/params as a plain
-single-mesh jit step on identical data, with the encoder time axis actually
-sharded (the compiled HLO must contain cross-'seq' collectives beyond the
-data-parallel gradient reduction).
+Round-3 contract: the SP step keeps the REFERENCE aggregation semantics —
+SUM-of-replica-losses logging and (optionally) the hardened wav2vec2 chain —
+per data replica (= sequence-parallel group), with the encoder time axis
+actually sharded over 'seq' (the compiled HLO must carry cross-'seq'
+collectives).  Equality is therefore asserted against the DP trainer on a
+mesh with the same number of data replicas, which is itself golden-tested
+against the reference semantics in test_dp.py.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from tethys_tpu.models.whisper import create_whisper_model
 from tethys_tpu.parallel import dp, sp
+from tethys_tpu.parallel.mesh import make_data_mesh
 
 
 def _tiny_whisper():
@@ -35,54 +40,156 @@ def _tiny_whisper():
     return model, params, feats, labels
 
 
-def _loss_fn(model):
+def _loss_fn(model, deterministic=True):
     def loss_fn(params, batch, rng):
         f, l = batch
-        out = model.apply({"params": params}, f, labels=l,
-                          deterministic=True)
+        if deterministic:
+            out = model.apply({"params": params}, f, labels=l,
+                              deterministic=True)
+        else:
+            out = model.apply({"params": params}, f, labels=l,
+                              deterministic=False, rngs={"dropout": rng})
         return out["loss"], {}
     return loss_fn
 
 
-def test_sp_step_matches_plain_step():
+def _dp_golden(model, params, feats, labels, rng, n_data=2, opt=None,
+               hardened=False, deterministic=True):
+    """Reference-semantics golden: the DP step on an n_data-device mesh."""
+    opt = opt or optax.sgd(1e-2)
+    loss_fn = _loss_fn(model, deterministic)
+    mesh = make_data_mesh(n_data)
+    # Host copy: the DP step donates its state, and device_put may alias the
+    # caller's buffers into the replicated state — donation would delete them.
+    params = jax.device_get(params)
+    state = dp.replicate_state(
+        dp.TrainState(params, opt.init(params)), mesh)
+    step = dp.make_train_step(loss_fn, opt, mesh, hardened=hardened)
+    new_state, loss = step(state, dp.shard_batch((feats, labels), mesh), rng)
+    return jax.device_get(new_state.params), float(loss)
+
+
+def test_sp_step_matches_dp_step():
+    """SP (data=2 x seq=4) must equal DP (data=2) on identical data: same
+    SUM-of-replica-losses, same params after one SGD step (the seq sharding
+    is a pure reformulation within each replica)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 simulated devices")
-    import optax
-
     model, params, feats, labels = _tiny_whisper()
-    loss_fn = _loss_fn(model)
     # SGD, not Adam: Adam's first-step update is ~lr*sign(grad), which
     # amplifies f32 cross-shard reduction-order noise on near-zero grads
     # into full-size update differences; SGD keeps the comparison
     # proportional to the grads themselves.
     opt = optax.sgd(1e-2)
     rng = jax.random.PRNGKey(7)
-
-    # Plain single-device baseline (no donation: params reused below).
-    def plain_step(params, opt_state, batch):
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, batch, rng), has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax_apply(params, updates), opt_state, loss
-
-    import optax
-
-    def optax_apply(p, u):
-        return optax.apply_updates(p, u)
-
-    p_plain, s_plain, loss_plain = jax.jit(plain_step)(
-        params, opt.init(params), (feats, labels))
+    p_dp, loss_dp = _dp_golden(model, params, feats, labels, rng, n_data=2,
+                               opt=opt)
 
     mesh = sp.make_seq_mesh(8, seq_parallel=4)  # data=2 x seq=4
     state = sp.init_sp_state(params, opt, mesh)
-    step = sp.make_sp_train_step(loss_fn, opt, mesh)
+    step = sp.make_sp_train_step(_loss_fn(model), opt, mesh)
     new_state, loss_sp = step(state, (feats, labels), rng)
 
-    np.testing.assert_allclose(float(loss_sp), float(loss_plain), rtol=1e-5)
+    np.testing.assert_allclose(float(loss_sp), loss_dp, rtol=1e-5)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
-        jax.device_get(new_state.params), jax.device_get(p_plain))
+        jax.device_get(new_state.params), p_dp)
+
+
+def test_sp_step_with_dropout_matches_dp_step():
+    """VERDICT r2 item 7: the SP path with dropout ON (deterministic=False)
+    and per-replica fold-in streams must equal the DP step — jax.random's
+    counter-based threefry masks are sharding-invariant, so partitioning
+    the time axis must not change which elements drop."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    model, params, feats, labels = _tiny_whisper()
+    opt = optax.sgd(1e-2)
+    rng = jax.random.PRNGKey(11)
+    p_dp, loss_dp = _dp_golden(model, params, feats, labels, rng, n_data=2,
+                               opt=opt, deterministic=False)
+
+    mesh = sp.make_seq_mesh(8, seq_parallel=4)
+    state = sp.init_sp_state(params, opt, mesh)
+    step = sp.make_sp_train_step(_loss_fn(model, deterministic=False), opt,
+                                 mesh)
+    new_state, loss_sp = step(state, (feats, labels), rng)
+
+    np.testing.assert_allclose(float(loss_sp), loss_dp, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        jax.device_get(new_state.params), p_dp)
+
+
+def _quadratic_loss_fn(params, batch, rng):
+    del rng
+    x, y = batch
+    return jnp.mean((x @ params["w"] - y) ** 2), {}
+
+
+def test_sp_golden_sum_semantics():
+    """SUM-of-replica-losses on the (data=2, seq=4) mesh, computed
+    explicitly (the test_dp.py golden, rerun through the SP trainer)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 4)).astype(np.float32)
+    y = rng.standard_normal((4,)).astype(np.float32)
+    w0 = rng.standard_normal(4).astype(np.float32)
+    params = {"w": jnp.asarray(w0)}
+    opt = optax.sgd(0.1)
+
+    mesh = sp.make_seq_mesh(8, seq_parallel=4)
+    state = sp.init_sp_state(params, opt, mesh)
+    step = sp.make_sp_train_step(_quadratic_loss_fn, opt, mesh)
+    new_state, loss = step(state, (jnp.asarray(x), jnp.asarray(y)),
+                           jax.random.PRNGKey(0))
+
+    losses, grads = [], []
+    for i in range(2):
+        xs, ys = x[i * 2:(i + 1) * 2], y[i * 2:(i + 1) * 2]
+        l, g = jax.value_and_grad(
+            lambda w: jnp.mean((xs @ w - ys) ** 2))(jnp.asarray(w0))
+        losses.append(float(l))
+        grads.append(np.asarray(g))
+    np.testing.assert_allclose(float(loss), np.sum(losses), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["w"]),
+        w0 - 0.1 * np.sum(grads, axis=0), rtol=1e-5)
+
+
+def test_sp_hardened_golden():
+    """Hardened chain on the seq mesh: loss/N_data, per-replica clip, SUM."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    rng = np.random.default_rng(4)
+    x = (10.0 * rng.standard_normal((4, 4))).astype(np.float32)  # big grads
+    y = rng.standard_normal((4,)).astype(np.float32)
+    w0 = rng.standard_normal(4).astype(np.float32)
+    params = {"w": jnp.asarray(w0)}
+    opt = optax.sgd(1.0)
+
+    mesh = sp.make_seq_mesh(8, seq_parallel=4)
+    state = sp.init_sp_state(params, opt, mesh)
+    step = sp.make_sp_train_step(_quadratic_loss_fn, opt, mesh,
+                                 hardened=True)
+    new_state, loss = step(state, (jnp.asarray(x), jnp.asarray(y)),
+                           jax.random.PRNGKey(0))
+
+    losses, grads = [], []
+    for i in range(2):
+        xs, ys = x[i * 2:(i + 1) * 2], y[i * 2:(i + 1) * 2]
+        l, g = jax.value_and_grad(
+            lambda w: jnp.mean((xs @ w - ys) ** 2) / 2)(jnp.asarray(w0))
+        losses.append(float(l))
+        gnorm = np.linalg.norm(np.asarray(g))
+        grads.append(np.asarray(g) * min(1.0, 1.0 / max(gnorm, 1e-12)))
+    np.testing.assert_allclose(float(loss), np.sum(losses), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["w"]),
+        w0 - np.sum(grads, axis=0), rtol=1e-4)
 
 
 def test_sp_step_actually_shards_sequence():

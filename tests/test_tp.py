@@ -55,10 +55,14 @@ def test_mesh_and_shardings():
         jax.sharding.PartitionSpec()
 
 
-def test_tp_step_matches_single_device():
-    """dp x tp jit step must produce the same params as a plain 1-device
-    global-mean step (it is a pure re-sharding of the same computation)."""
+def test_tp_step_matches_dp_step():
+    """TP (data=4 x model=2) must equal DP (data=4) on identical data: the
+    round-3 contract is that --tp keeps the reference aggregation semantics
+    (SUM-of-replica-losses per model-parallel group), so the DP step — which
+    is golden-tested against the reference in test_dp.py — is the golden."""
     import optax
+
+    from tethys_tpu.parallel.mesh import make_data_mesh
 
     mesh = tp.make_2d_mesh(8, model_parallel=2)
     model, params, loss_fn, batch = _setup(mesh)
@@ -67,15 +71,14 @@ def test_tp_step_matches_single_device():
     opt = optax.sgd(1e-2)
     rng = jax.random.PRNGKey(5)
 
-    # single device golden
-    def single_step(params, opt_state, batch):
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, batch, rng), has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    golden_params, _, golden_loss = single_step(params, opt.init(params),
-                                                batch)
+    params_host = jax.device_get(params)  # DP step donates its state
+    dp_mesh = make_data_mesh(4)
+    dp_state = dp.replicate_state(
+        dp.TrainState(params_host, opt.init(params_host)), dp_mesh)
+    dp_step = dp.make_train_step(loss_fn, opt, dp_mesh, hardened=False)
+    dp_out, golden_loss = dp_step(
+        dp_state, dp.shard_batch(batch, dp_mesh), rng)
+    golden_params = jax.device_get(dp_out.params)
 
     state = tp.init_tp_state(params, opt, mesh)
     step = tp.make_tp_train_step(loss_fn, opt, mesh)
@@ -87,6 +90,52 @@ def test_tp_step_matches_single_device():
                         new_state.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_tp_hardened_golden():
+    """The hardened chain (NaN scrub, 1/N_data, per-replica clip, SUM) on
+    the (data=4, model=2) mesh with a 'model'-sharded param, computed
+    explicitly — the --tp wav2vec2 contract (round-3 fix; reference
+    speech_jobs/wav2vec2_dist.py:1186-1260)."""
+    import optax
+
+    rng = np.random.default_rng(9)
+    x = (10.0 * rng.standard_normal((8, 4))).astype(np.float32)
+    y = rng.standard_normal((8, 16)).astype(np.float32)
+    w0 = rng.standard_normal((4, 16)).astype(np.float32)
+    # name the leaf fc1/kernel so tp's Megatron rule shards it over 'model'
+    params = {"fc1": {"kernel": jnp.asarray(w0)}}
+
+    def loss_fn(p, batch, rng_):
+        del rng_
+        xb, yb = batch
+        return jnp.mean((xb @ p["fc1"]["kernel"] - yb) ** 2), {}
+
+    opt = optax.sgd(1.0)
+    mesh = tp.make_2d_mesh(8, model_parallel=2)
+    state = tp.init_tp_state(params, opt, mesh)
+    k = state.params["fc1"]["kernel"]
+    assert {s.data.shape for s in k.addressable_shards} == {(4, 8)}, \
+        "fc1 kernel must be model-sharded for this test to mean anything"
+    step = tp.make_tp_train_step(loss_fn, opt, mesh, hardened=True)
+    new_state, loss = step(
+        state, (jnp.asarray(x), jnp.asarray(y)), jax.random.PRNGKey(0))
+
+    losses, grads = [], []
+    for i in range(4):
+        xs, ys = x[i * 2:(i + 1) * 2], y[i * 2:(i + 1) * 2]
+        l, g = jax.value_and_grad(
+            lambda w: jnp.mean((xs @ w - ys) ** 2) / 4)(jnp.asarray(w0))
+        losses.append(float(l))
+        gnorm = np.linalg.norm(np.asarray(g))
+        grads.append(np.asarray(g) * min(1.0, 1.0 / max(gnorm, 1e-12)))
+    np.testing.assert_allclose(float(loss), np.sum(losses), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["fc1"]["kernel"]),
+        w0 - np.sum(grads, axis=0), rtol=1e-4)
+    # the update must not have destroyed the Megatron sharding
+    k = new_state.params["fc1"]["kernel"]
+    assert {s.data.shape for s in k.addressable_shards} == {(4, 8)}
 
 
 def test_tp_params_actually_sharded():

@@ -39,6 +39,36 @@ class CheckpointManager:
     def restore(self, tag: str, template: Any) -> Any:
         return self._ckptr.restore(self._path(tag), target=template)
 
+    def restore_like(self, tag: str, state: Any) -> Any:
+        """Restore directly into `state`'s shardings (round-3 extension:
+        makes `--resume` work for TP/SP runs — Orbax places each leaf
+        according to the abstract template, so Megatron-sharded params come
+        back sharded without a host round-trip through replicated form).
+
+        Leaves that are not yet mesh-resident (e.g. Adam's scalar `count`,
+        which optimizer.init leaves on the default device) are restored
+        replicated on the state's mesh — a committed single-device leaf
+        next to mesh-committed params would poison the next jit call."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = None
+        for leaf in jax.tree_util.tree_leaves(state):
+            s = getattr(leaf, "sharding", None)
+            if isinstance(s, NamedSharding):
+                mesh = s.mesh
+                break
+
+        def as_template(x):
+            if not isinstance(x, jax.Array):
+                return x
+            sharding = x.sharding
+            if not isinstance(sharding, NamedSharding) and mesh is not None:
+                sharding = NamedSharding(mesh, PartitionSpec())
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+        template = jax.tree_util.tree_map(as_template, state)
+        return self._ckptr.restore(self._path(tag), target=template)
+
     def latest_tag(self, prefix: Optional[str] = None) -> Optional[str]:
         """Newest checkpoint tag, optionally scoped to a tag prefix.
 

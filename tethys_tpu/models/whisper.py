@@ -39,6 +39,7 @@ from tethys_tpu.ops.attention import flash_active, multi_head_attention
 from tethys_tpu.ops.pallas_dropout import module_dropout
 from tethys_tpu.ops.pallas_transpose import merge_heads, split_heads
 from tethys_tpu.ops.masks import NEG_INF, causal_additive_mask
+from tethys_tpu.ops.sharding import seq_constrain
 from tethys_tpu.ops.posenc import sinusoidal_table
 
 DenseInit = nn.initializers.glorot_uniform()
@@ -264,12 +265,10 @@ class WhisperEncoder(nn.Module):
                 x = jnp.pad(x, ((0, 0), (0, pad_len - true_len), (0, 0)))
         kv_len = true_len if pad_len != true_len else None
 
-        # Sequence-parallel hook (no-op outside parallel/sp.py's trainer):
-        # constrain [B, T, D] to P('data', 'seq', None) at layer boundaries
-        # so GSPMD keeps the time axis sharded through LN/FFN and gathers
-        # K/V for attention.
-        from tethys_tpu.parallel.sp import seq_constrain
-
+        # Sequence-parallel hook (no-op unless a trainer installed
+        # ops.sharding.seq_axis_rules): constrain [B, T, D] at layer
+        # boundaries so GSPMD keeps the time axis sharded through LN/FFN
+        # and gathers K/V for attention.
         x = seq_constrain(x)
         for i in range(cfg.encoder_layers):
             x = WhisperEncoderLayer(cfg, name=f"layers_{i}")(

@@ -11,11 +11,14 @@ lines (atomic write-to-temp + rename) to the metrics file the daemon reads
 
 * **HBM usage** comes from `device.memory_stats()` (`bytes_in_use` /
   `bytes_limit`), the libtpu allocator's own counters.
-* **Utilization** is duty-cycle over a sliding window: the training loop
-  reports each step's device-busy duration via `note_step()` (wired as a
-  run_training step hook); util% = busy_time / wall_time, which is exactly
-  what NVML's "GPU Util" reports for GPUs (fraction of the sample period a
-  kernel was resident).
+* **Utilization** is a HOST-SIDE step duty-cycle over a sliding window: the
+  training loop reports each step's host wall duration via `note_step()`
+  (wired as a run_training step hook); util% = busy_time / wall_time.  This
+  is the closest stand-in for NVML's "GPU Util" available without a device
+  counter API, but it is NOT a device-busy measurement: the host duration
+  includes dispatch and data prep, so back-to-back steps report ~100% even
+  when the chip idles between launches.  An idle process (no recent steps)
+  reports 0%.
 """
 
 from __future__ import annotations
@@ -46,7 +49,7 @@ class MonitorBridge:
 
     def note_step(self, step: int, loss: float, duration: float,
                   aux=None) -> None:
-        """run_training step hook: record device-busy time."""
+        """run_training step hook: record a host step duration."""
         del step, loss, aux
         with self._lock:
             now = time.time()
@@ -55,7 +58,12 @@ class MonitorBridge:
             self._busy = [(t, d) for t, d in self._busy if t >= cutoff]
 
     def _utilization_percent(self) -> int:
+        """Host duty-cycle over the sliding window.  Stale entries are
+        pruned HERE too (not just in note_step) so a process that stops
+        stepping decays to 0% instead of freezing at the last value."""
         with self._lock:
+            cutoff = time.time() - self.window_s
+            self._busy = [(t, d) for t, d in self._busy if t >= cutoff]
             if not self._busy:
                 return 0
             busy = sum(d for _, d in self._busy)

@@ -90,8 +90,11 @@ def _xla_attention(query, key, value, bias, dropout_rate, dropout_rng,
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
     if kv_len is not None and kv_len < key.shape[2]:
+        from tethys_tpu.ops.masks import NEG_INF
+
         col = jnp.arange(key.shape[2])
-        scores = jnp.where(col[None, None, None, :] < kv_len, scores, -1e30)
+        scores = jnp.where(col[None, None, None, :] < kv_len, scores,
+                           NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
     if not deterministic and dropout_rate > 0.0:
         from tethys_tpu.ops.pallas_dropout import auto_axes_in_scope

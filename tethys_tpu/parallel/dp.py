@@ -82,6 +82,8 @@ def make_train_step(
     return_aux: bool = False,
     grad_aux_fn: Optional[Callable[[Any], Any]] = None,
     flat_spec=None,
+    remat: bool = False,
+    param_constraint: Optional[Callable[[Any], Any]] = None,
 ):
     """Build a jitted DP train step.
 
@@ -100,8 +102,25 @@ def make_train_step(
     whole clip → psum → clip → Adam chain then runs as a few large 1-D ops
     and one collective instead of four tree passes over every tensor
     (see flat.py module docs).  loss_fn still receives the pytree.
+
+    On a MULTI-AXIS mesh ((data, model) from tp.py, (data, seq) from
+    sp.py), the shard_map is *partial-manual*: only `axis` is manual, the
+    remaining axes stay auto — GSPMD keeps partitioning the model/sequence
+    dims inside each replica body while the cross-replica aggregation keeps
+    the exact reference semantics above.  `param_constraint` (e.g.
+    tp.constrain_params) re-pins the auto-axis param shardings inside the
+    body; `remat=True` wraps the loss in jax.checkpoint for large-model
+    HBM fits.
     """
     n_replicas = mesh.shape[axis]
+    auto_axes = frozenset(mesh.axis_names) - {axis}
+
+    if remat:
+        unremat_loss_fn = loss_fn
+        loss_fn = jax.checkpoint(
+            unremat_loss_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
 
     if flat_spec is not None:
         pytree_loss_fn = loss_fn
@@ -118,6 +137,9 @@ def make_train_step(
     def replica_step(state: TrainState, batch, rng):
         # Distinct dropout / sampling streams per replica.
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        if param_constraint is not None:
+            state = TrainState(param_constraint(state.params),
+                               state.opt_state)
 
         if hardened:
             def scaled_loss_fn(params):
@@ -151,12 +173,17 @@ def make_train_step(
         return new_state, loss_out, aux_out
 
     out_specs = (P(), P(), P()) if return_aux else (P(), P())
+    kwargs = {}
+    if auto_axes:
+        # Partial-manual: 'data' manual, remaining mesh axes stay GSPMD-auto.
+        kwargs["axis_names"] = {axis}
     sharded = shard_map(
         replica_step,
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=out_specs,
         check_vma=False,
+        **kwargs,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 

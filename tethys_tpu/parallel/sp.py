@@ -7,8 +7,9 @@ The reference has neither model- nor sequence-parallelism (SURVEY §2.6,
 and sharding T is what lets long-audio / large-model configs span chips.
 
 GSPMD style (the scaling-book recipe): a single sharding constraint at
-every encoder layer boundary (`seq_constrain`, called from the Whisper
-encoder when a sequence-parallel step is being traced).  XLA then
+every encoder layer boundary (`ops.sharding.seq_constrain`, called from the
+Whisper encoder; this trainer installs the spec via the thread-local
+`seq_axis_rules` context while tracing).  XLA then
 
 * partitions all elementwise / LayerNorm / FFN work along T,
 * inserts halo exchanges for the conv stem,
@@ -22,11 +23,18 @@ in `jax.experimental.custom_partitioning` — query rows shard over 'seq'
 (K/V gathered across the axis, dk/dv psum'd in the backward), heads over
 'model', batch over 'data'.  Verified numerically equal to the unsharded
 kernel for every trainer layout in `tests/test_flash_partition.py`.
+
+Cross-replica aggregation keeps the REFERENCE semantics (round-3 fix; the
+round-2 trainer silently switched to global-mean): the step body is
+dp.make_train_step's replica step under a *partial-manual* shard_map —
+'data' manual (SUM-of-replica-losses logging, optional hardened wav2vec2
+chain), 'seq' GSPMD-auto (the time-axis sharding above).  A "replica" is
+one sequence-parallel group, the analogue of the reference's one-GPU
+worker.
 """
 
 from __future__ import annotations
 
-import contextlib
 from typing import Any, Callable, Optional
 
 import jax
@@ -34,30 +42,8 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tethys_tpu.ops.sharding import seq_axis_rules, seq_constrain  # noqa: F401  (re-export)
 from tethys_tpu.parallel.dp import TrainState
-
-# Sharding applied by `seq_constrain` while a sequence-parallel step is
-# being traced; None -> no-op (every non-SP path).
-_SEQ_SHARDING: Optional[NamedSharding] = None
-
-
-def seq_constrain(x: jax.Array) -> jax.Array:
-    """Layer-boundary hook the Whisper encoder calls on [B, T, D]
-    activations.  No-op unless tracing under `make_sp_train_step`."""
-    if _SEQ_SHARDING is None or x.ndim != 3:
-        return x
-    return jax.lax.with_sharding_constraint(x, _SEQ_SHARDING)
-
-
-@contextlib.contextmanager
-def _seq_ctx(sharding: NamedSharding):
-    global _SEQ_SHARDING
-    prev = _SEQ_SHARDING
-    _SEQ_SHARDING = sharding
-    try:
-        yield
-    finally:
-        _SEQ_SHARDING = prev
 
 
 def make_seq_mesh(num_devices: Optional[int] = None,
@@ -77,55 +63,44 @@ def make_sp_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     remat: bool = False,
+    hardened: bool = False,
+    return_aux: bool = False,
+    grad_aux_fn: Optional[Callable[[Any], Any]] = None,
 ):
-    """jit train step over the ('data', 'seq') mesh.
+    """Train step over the ('data', 'seq') mesh with the reference's
+    aggregation semantics (see module doc).
 
-    Params replicated, batch sharded over 'data', encoder activations
-    constrained to P('data', 'seq', None) at every layer boundary; XLA
-    derives the collectives.  Loss aggregation is the global-batch mean
-    (extension trainer, like tp.py — the reference SUM-logging contract
-    belongs to dp.py).
-
-    NOTE: the seq constraint is installed only while THIS wrapper traces;
-    the jitted step retraces on new shapes inside the wrapper, so the
-    context always covers tracing.
+    Params replicated; batch manual-sharded over 'data'; inside each
+    replica body the encoder's [B_local, T, D] activations are constrained
+    to P(None, 'seq', None) — 'seq' is the remaining GSPMD-auto axis, so
+    XLA derives the sequence collectives.  The spec is installed via the
+    thread-local `seq_axis_rules` context only while tracing (the jitted
+    step retraces on new shapes inside the wrapper, so the context always
+    covers tracing).
     """
-    fn = loss_fn
-    if remat:
-        fn = jax.checkpoint(
-            loss_fn,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        )
+    from tethys_tpu.parallel import dp as dp_lib
 
-    def step(state: TrainState, batch, rng):
-        (loss, _aux), grads = jax.value_and_grad(
-            lambda p: fn(p, batch, rng), has_aux=True
-        )(state.params)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_opt), loss
-
-    batch_sharding = NamedSharding(mesh, P("data"))
-    replicated = NamedSharding(mesh, P())
-    jitted = jax.jit(
-        step,
-        in_shardings=(None, batch_sharding, replicated),
-        donate_argnums=(0,),
+    jitted = dp_lib.make_train_step(
+        loss_fn, optimizer, mesh,
+        hardened=hardened,
+        return_aux=return_aux,
+        grad_aux_fn=grad_aux_fn,
+        remat=remat,
     )
-    seq_sharding = NamedSharding(mesh, P("data", "seq", None))
+    # Batch dim is a LOCAL (per-data-replica) dim inside the manual region;
+    # only the auto 'seq' axis appears in the activation spec.
+    seq_spec = P(None, "seq", None)
 
     def wrapper(state, batch, rng):
-        with _seq_ctx(seq_sharding):
+        with seq_axis_rules(seq_spec):
             return jitted(state, batch, rng)
 
-    wrapper.lower = lambda *a, **k: _lower_with_ctx(jitted, seq_sharding,
-                                                    *a, **k)
+    wrapper.lower = lambda *a, **k: _lower_with_ctx(jitted, seq_spec, *a, **k)
     return wrapper
 
 
-def _lower_with_ctx(jitted, seq_sharding, *args, **kwargs):
-    with _seq_ctx(seq_sharding):
+def _lower_with_ctx(jitted, seq_spec, *args, **kwargs):
+    with seq_axis_rules(seq_spec):
         return jitted.lower(*args, **kwargs)
 
 

@@ -14,9 +14,16 @@ and `jax.jit` with NamedSharding-annotated params lets XLA insert the
 all-reduces on ICI (the scaling-book recipe: pick a mesh, annotate shardings,
 let the compiler place collectives).
 
-Loss/grad aggregation here is the standard global-batch mean (not the
-reference's SUM-of-replica-losses logging contract, which belongs to the DP
-trainer in dp.py).
+Cross-replica aggregation keeps the REFERENCE semantics (round-3 fix; the
+round-2 trainer silently switched to global-mean): the step body is
+dp.make_train_step's replica step run under a *partial-manual* shard_map —
+'data' manual (so the SUM-of-replica-losses logging contract and, for
+wav2vec2, the hardened NaN-scrub / 1/N / per-replica-clip chain hold
+per model-parallel group exactly as they hold per GPU in the reference,
+speech_jobs/wav2vec2_dist.py:1186-1260), while 'model' stays GSPMD-auto so
+XLA keeps partitioning the Megatron-sharded matmuls inside each group.
+A "replica" here is one model-parallel group (the unit that holds a full
+set of params), the analogue of the reference's one-GPU worker.
 """
 
 from __future__ import annotations
@@ -115,42 +122,50 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, param_shardings(params, mesh))
 
 
+def constrain_params(params: Any) -> Any:
+    """Re-pin every param leaf's 'model'-axis sharding against the mesh in
+    scope (the abstract mesh inside the partial-manual shard_map body), so
+    GSPMD cannot silently replicate the Megatron shardings inside the
+    replica region."""
+    am = jax.sharding.get_abstract_mesh()
+
+    def pin(path, leaf):
+        spec = _spec_for(
+            tuple(str(getattr(k, "key", k)) for k in path), leaf)
+        return jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(am, spec))
+
+    return jax.tree_util.tree_map_with_path(pin, params)
+
+
 def make_tp_train_step(
     loss_fn: Callable,                  # (params, batch, rng) -> (loss, aux)
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     remat: bool = False,
+    hardened: bool = False,
+    return_aux: bool = False,
+    grad_aux_fn: Optional[Callable[[Any], Any]] = None,
 ):
-    """jit train step over the 2-D mesh: global-mean loss, sharded params.
+    """Train step over the (data, model) mesh with the reference's
+    aggregation semantics (see module doc): dp.make_train_step's replica
+    body under a partial-manual shard_map — 'data' manual, 'model' auto.
 
-    XLA propagates the param shardings through the computation and inserts
-    the tensor-parallel all-reduces; the gradient data-parallel reduction
-    falls out of the batch sharding.  `remat=True` checkpoints the loss
-    computation (activations rematerialized in backward; matmul outputs
-    saveable) — required for whisper-medium/large activations to fit HBM.
+    `hardened=True` selects the wav2vec2 dist-job chain (NaN scrub, 1/N
+    loss scale, per-replica global-norm clip before the psum); `remat=True`
+    checkpoints the forward (matmul outputs saveable) for
+    whisper-medium/large HBM fits.  `return_aux`/`grad_aux_fn` mirror the
+    DP step (tensorsize-profiler plumbing).
     """
-    fn = loss_fn
-    if remat:
-        fn = jax.checkpoint(
-            loss_fn,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        )
+    from tethys_tpu.parallel import dp as dp_lib
 
-    def step(state: TrainState, batch, rng):
-        (loss, _aux), grads = jax.value_and_grad(
-            lambda p: fn(p, batch, rng), has_aux=True
-        )(state.params)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_opt), loss
-
-    batch_sharding = NamedSharding(mesh, P("data"))
-    replicated = NamedSharding(mesh, P())
-    return jax.jit(
-        step,
-        in_shardings=(None, batch_sharding, replicated),
-        donate_argnums=(0,),
+    return dp_lib.make_train_step(
+        loss_fn, optimizer, mesh,
+        hardened=hardened,
+        return_aux=return_aux,
+        grad_aux_fn=grad_aux_fn,
+        remat=remat,
+        param_constraint=constrain_params,
     )
 
 

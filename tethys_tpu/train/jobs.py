@@ -172,14 +172,10 @@ def train_whisper(
     if tensor_parallel > 1:
         from tethys_tpu.parallel import tp as tp_lib
 
-        if resume:
-            raise ValueError("resume is not supported with tensor_parallel")
         mesh = mesh or tp_lib.make_2d_mesh(model_parallel=tensor_parallel)
     elif seq_parallel > 1:
         from tethys_tpu.parallel import sp as sp_lib
 
-        if resume:
-            raise ValueError("resume is not supported with seq_parallel")
         mesh = mesh or sp_lib.make_seq_mesh(seq_parallel=seq_parallel)
     else:
         mesh = mesh or mesh_lib.make_data_mesh()
@@ -269,11 +265,11 @@ def train_whisper(
         # Extension: the reference is write-only (SURVEY §5.4); restoring the
         # latest tag makes the jobs preemption-resumable.  Scoped to this
         # job's tag prefix so a foreign job's pytree is never restored.
+        # restore_like places leaves straight into the live state's
+        # shardings, so --resume works for DP, TP, and SP states alike.
         latest = ckpt.latest_tag(prefix=f"whisper_{model_type}")
         if latest:
-            template = jax.device_get(state)
-            restored = ckpt.restore(latest, template)
-            state = dp.replicate_state(dp.TrainState(*restored), mesh)
+            state = ckpt.restore_like(latest, state)
             print(f"Resumed from checkpoint {latest}")
     step_hooks, _bridge = _maybe_start_monitor_bridge(step_hooks)
 
@@ -321,13 +317,13 @@ def train_wav2vec2(
 
     `tensor_parallel > 1` trains over a 2-D (data, model) mesh (extension;
     tp.py's sharding rules cover the wav2vec2 convs, quantizer codebook,
-    and trunk matmuls).  The TP trainer uses global-mean aggregation, not
-    the hardened SUM contract — labeled deviation, same as whisper's."""
+    and trunk matmuls).  The TP trainer keeps the reference's hardened
+    aggregation contract per model-parallel group (round-3 fix: NaN scrub,
+    1/N, per-replica clip, SUM-of-replica-losses logging — the scraped
+    stdout loss line means the same thing with or without --tp)."""
     if tensor_parallel > 1:
         from tethys_tpu.parallel import tp as tp_lib
 
-        if resume:
-            raise ValueError("resume is not supported with tensor_parallel")
         mesh = mesh or tp_lib.make_2d_mesh(model_parallel=tensor_parallel)
     else:
         mesh = mesh or mesh_lib.make_data_mesh()
@@ -430,8 +426,10 @@ def train_wav2vec2(
                 grads, "gradient")
 
     if tensor_parallel > 1:
-        step_fn = tp_lib.make_tp_train_step(loss_fn, optimizer, mesh,
-                                            remat=remat)
+        step_fn = tp_lib.make_tp_train_step(
+            loss_fn, optimizer, mesh, remat=remat, hardened=True,
+            return_aux=return_aux, grad_aux_fn=grad_aux_fn,
+        )
     else:
         step_fn = dp.make_train_step(
             loss_fn, optimizer, mesh, hardened=True,
@@ -454,9 +452,7 @@ def train_wav2vec2(
         # latest tag makes the jobs preemption-resumable.
         latest = ckpt.latest_tag(prefix="model")
         if latest:
-            template = jax.device_get(state)
-            restored = ckpt.restore(latest, template)
-            state = dp.replicate_state(dp.TrainState(*restored), mesh)
+            state = ckpt.restore_like(latest, state)
             print(f"Resumed from checkpoint {latest}")
     step_hooks, _bridge = _maybe_start_monitor_bridge(step_hooks)
 
