@@ -84,6 +84,35 @@ def _seed_for_block(base_seed, b, i, j):
     return base_seed + b * 1000003 + i * 7919 + j * 104729
 
 
+def _kv_mask_add(s, j, block_k: int, kv_len: int, mask_kv: bool):
+    """Mask padded KV columns of a [BQ, BK] score tile.
+
+    Round-3 VPU trim: build a [1, BK] additive row mask (0 / NEG_INF) — the
+    iota/compare/select run on BK elements, and the per-element cost is ONE
+    broadcast add (the old form ran iota+compare+select on the full tile).
+    s + (-1e30) == -1e30 exactly in f32 (absorption), so max/exp behave
+    identically to the select.  `mask_kv` is static: when kv_len covers
+    every block (no padding), the mask vanishes from the kernel entirely."""
+    if not mask_kv:
+        return s
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (1, s.shape[-1]), 1) + j * block_k
+    row = jnp.where(col < kv_len, 0.0, NEG_INF).astype(s.dtype)
+    return s + row
+
+
+def _kv_mask_select(s, j, block_k: int, kv_len: int, mask_kv: bool):
+    """Full-tile select variant (iota+cmp+select per element): measured
+    FASTER than the broadcast add inside the backward kernels (Mosaic lowers
+    the [1, BK]->[BQ, BK] broadcast there as a relayout; A/B in
+    BASELINE.md), so the backward keeps the select while the forward uses
+    the additive form."""
+    if not mask_kv:
+        return s
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    return jnp.where(col < kv_len, s, NEG_INF)
+
+
 def _dropout_mask(base_seed, b, i, j, shape, rate: float):
     seed = _seed_for_block(base_seed, b, i, j)
     if _INTERPRET:
@@ -105,7 +134,7 @@ def _dropout_mask(base_seed, b, i, j, shape, rate: float):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, kv_len: int, num_k_blocks: int,
-                dropout_rate: float, block_k: int):
+                dropout_rate: float, block_k: int, mask_kv: bool):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -119,8 +148,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        s = _kv_mask_add(s, j, block_k, kv_len, mask_kv)
         m = jnp.max(s, axis=-1)
         p = jnp.exp(s - m[:, None])
         l = jnp.sum(p, axis=-1)
@@ -151,8 +179,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )                                 # [BQ, BK]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    s = _kv_mask_add(s, j, block_k, kv_len, mask_kv)
 
     m_prev = m_ref[:, 0]              # [BQ]
     l_prev = l_ref[:, 0]
@@ -195,6 +222,7 @@ def _flash_fwd(q, k, v, seed, dropout_rate: float, kv_len: int):
     kernel = functools.partial(
         _fwd_kernel, kv_len=kv_len, num_k_blocks=num_k,
         dropout_rate=dropout_rate, block_k=BLOCK_K,
+        mask_kv=kv_len < num_k * BLOCK_K,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -230,7 +258,7 @@ def _flash_fwd(q, k, v, seed, dropout_rate: float, kv_len: int):
 
 def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_acc_ref, *, kv_len: int, num_k_blocks: int,
-                   dropout_rate: float, block_k: int):
+                   dropout_rate: float, block_k: int, mask_kv: bool):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -242,36 +270,45 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    # Round-3 MXU fix: keep do in its storage dtype (bf16 in training) so
+    # the dp dot runs on the fast MXU path instead of f32 (do is ALREADY
+    # bf16-rounded in HBM, so the bf16 x bf16 dot with f32 accumulation
+    # computes the same products the old upcast-to-f32 dot did).  The
+    # dropout 1/(1-r) moves to the epilogue: with
+    #     t = M.dp_unscaled - delta*(1-r),   ds = inv * (p . t)
+    # the true dq = inv * (p . t) @ k — one [BQ, D] scale at the final
+    # write instead of any per-score-element scaling.
+    do = do_ref[0]
     lse = lse_ref[0, 0]               # [BQ]
     delta = delta_ref[0, 0]           # [BQ]
+    inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    delta_s = delta * (1.0 - dropout_rate) if dropout_rate > 0.0 else delta
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    s = _kv_mask_select(s, j, block_k, kv_len, mask_kv)
     p = jnp.exp(s - lse[:, None])     # normalized probs
 
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     if dropout_rate > 0.0:
         keep = _dropout_mask(seed_ref[0], b, i, j, p.shape, dropout_rate)
-        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
-    ds = p * (dp - delta[:, None])
+        dp = jnp.where(keep, dp, 0.0)
+    ds = p * (dp - delta_s[:, None])  # unscaled: true ds = inv * this
     dq_acc_ref[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(j == num_k_blocks - 1)
     def _():
-        dq_ref[0] = dq_acc_ref[:].astype(dq_ref.dtype)
+        dq_ref[0] = (dq_acc_ref[:] * inv).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc_ref, dv_acc_ref, *, kv_len: int,
                     num_q_blocks: int, dropout_rate: float, block_k: int,
-                    dq_ref=None):
+                    mask_kv: bool, dq_ref=None):
     """dk/dv backward; when `dq_ref` is given (single-KV-block case) also
     emits dq = ds @ k per q block — one extra MXU matmul instead of a whole
     second kernel re-deriving s, p and dp (the dq pass was ~1.8 ms/layer of
@@ -288,47 +325,56 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    # Round-3 MXU fix (see _bwd_dq_kernel): do stays in its storage dtype so
+    # the dv and dp dots run bf16 x bf16 with f32 accumulation (do is
+    # already bf16 in HBM — the products are identical to the old upcast-f32
+    # dots; only p_drop's cast to the dot dtype newly rounds, mirroring the
+    # forward's p.astype(v.dtype)).  All dropout 1/(1-r) scaling moves to
+    # the [BK, D]/[BQ, D] epilogues:
+    #     dv = inv * (M.P)^T do
+    #     ds = inv * (p . (M.dp_unscaled - delta*(1-r)))
+    do = do_ref[0]
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
+    inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    delta_s = delta * (1.0 - dropout_rate) if dropout_rate > 0.0 else delta
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    s = _kv_mask_select(s, j, block_k, kv_len, mask_kv)
     p = jnp.exp(s - lse[:, None])     # [BQ, BK]
 
     if dropout_rate > 0.0:
         keep = _dropout_mask(seed_ref[0], b, i, j, p.shape, dropout_rate)
-        p_drop = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        p_drop = jnp.where(keep, p, 0.0)
     else:
         keep = None
         p_drop = p
 
-    # dv += (M.P/(1-r))^T do
+    # dv += (M.P)^T do  (inv applied at the final write)
     dv_acc_ref[:] += jax.lax.dot_general(
         p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     if dropout_rate > 0.0:
-        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
-    ds = p * (dp - delta[:, None])    # [BQ, BK]
+        dp = jnp.where(keep, dp, 0.0)
+    ds = p * (dp - delta_s[:, None])  # unscaled: true ds = inv * this
     dk_acc_ref[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     if dq_ref is not None:            # num_k == 1: dq is exact per q block
-        dq_ref[0] = jax.lax.dot_general(
+        dq_ref[0] = (jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            preferred_element_type=jnp.float32) * inv).astype(dq_ref.dtype)
 
     @pl.when(i == num_q_blocks - 1)
     def _():
-        dk_ref[0] = dk_acc_ref[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc_ref[:].astype(dv_ref.dtype)
+        dk_ref[0] = (dk_acc_ref[:] * inv).astype(dk_ref.dtype)
+        dv_ref[0] = (dv_acc_ref[:] * inv).astype(dv_ref.dtype)
 
 
 def _bwd_dkv_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
@@ -356,7 +402,8 @@ def _flash_bwd(q, k, v, o, lse, do, seed, dropout_rate: float, kv_len: int):
         # dq falls out exactly — no separate dq pass (see kernel docstring).
         fused_kernel = functools.partial(
             _bwd_dkv_dq_kernel, kv_len=kv_len, num_q_blocks=num_q,
-            dropout_rate=dropout_rate, block_k=BLOCK_K)
+            dropout_rate=dropout_rate, block_k=BLOCK_K,
+            mask_kv=kv_len < num_k * BLOCK_K)
         dk, dv, dq = pl.pallas_call(
             fused_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -391,7 +438,8 @@ def _flash_bwd(q, k, v, o, lse, do, seed, dropout_rate: float, kv_len: int):
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel, kv_len=kv_len, num_k_blocks=num_k,
-        dropout_rate=dropout_rate, block_k=BLOCK_K)
+        dropout_rate=dropout_rate, block_k=BLOCK_K,
+        mask_kv=kv_len < num_k * BLOCK_K)
     dq = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -414,7 +462,8 @@ def _flash_bwd(q, k, v, o, lse, do, seed, dropout_rate: float, kv_len: int):
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, kv_len=kv_len, num_q_blocks=num_q,
-        dropout_rate=dropout_rate, block_k=BLOCK_K)
+        dropout_rate=dropout_rate, block_k=BLOCK_K,
+        mask_kv=kv_len < num_k * BLOCK_K)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
