@@ -15,9 +15,76 @@ Standard LayerNorm comes from flax.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _gn_core(groups: int, eps: float):
+    """GroupNorm core with an ANALYTIC backward (round-3).
+
+    The forward keeps the exact decomposition the module always used
+    (T-reduction in natural [B, T, C] layout, fold to [B, G], two-pass
+    variance) so XLA's conv-epilogue stats fusions survive — the pallas
+    stats/apply kernel was round 2's measured NEGATIVE.  What changes is
+    the backward: autodiff through the two-pass moments re-derives dmean /
+    dvar chains that cost ~7-8 passes over the activation; the closed form
+
+        dx   = r . (dy.g - mean_S(dy.g) - xhat . mean_S(dy.g.xhat))
+        dg_c = sum_{b,t} dy.xhat,   db_c = sum_{b,t} dy
+
+    needs ONE joint stats pass (A = sum_t dy.xhat, B = sum_t dy serve all
+    four reductions) plus one apply pass — 5 big-tensor touches total.
+    """
+    @jax.custom_vjp
+    def core(x, gamma, beta):
+        return _forward(x, gamma, beta)[0]
+
+    def _spread(v, pg):  # [B, G] -> [B, 1, C]
+        return jnp.repeat(v, pg, axis=-1)[:, None, :]
+
+    def _fold(per_channel, b, pg):  # [B, C] -> [B, G]
+        return jnp.sum(per_channel.reshape(b, groups, pg), axis=-1)
+
+    def _forward(x, gamma, beta):
+        b, t, c = x.shape
+        pg = c // groups
+        n = t * pg
+        xf = x.astype(jnp.float32)
+        mu = _spread(_fold(jnp.sum(xf, axis=1), b, pg) / n, pg)
+        centered = xf - mu
+        var = _fold(jnp.sum(jnp.square(centered), axis=1), b, pg) / n
+        r = _spread(jax.lax.rsqrt(var + eps), pg)
+        y = gamma * (centered * r) + beta
+        return y, (x, mu, r, gamma)
+
+    def fwd_rule(x, gamma, beta):
+        y, res = _forward(x, gamma, beta)
+        return y, res
+
+    def bwd_rule(res, dy):
+        x, mu, r, gamma = res
+        b, t, c = x.shape
+        pg = c // groups
+        n = t * pg
+        dyf = dy.astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        xhat = (xf - mu) * r
+        # Joint stats pass: A and B feed dgamma/dbeta AND the group means.
+        A = jnp.sum(dyf * xhat, axis=1)      # [B, C]
+        B = jnp.sum(dyf, axis=1)             # [B, C]
+        dgamma = jnp.sum(A, axis=0)
+        dbeta = jnp.sum(B, axis=0)
+        s1 = _spread(_fold(B * gamma, b, pg) / n, pg)
+        s2 = _spread(_fold(A * gamma, b, pg) / n, pg)
+        dx = r * (dyf * gamma - s1 - xhat * s2)
+        return dx.astype(x.dtype), dgamma, dbeta
+
+    core.defvjp(fwd_rule, bwd_rule)
+    return core
 
 
 class ReferenceGroupNorm(nn.Module):
@@ -52,25 +119,6 @@ class ReferenceGroupNorm(nn.Module):
         # Variance is two-pass (E[(x-mu)^2], not E[x^2]-mu^2): conv
         # activations sit far from zero and the one-pass form loses ~3
         # digits to cancellation (BASELINE.md round-2 notes).
-        xf = x.astype(jnp.float32)
-        denom = t * per_group
-
-        def t_reduce(y):  # [B, T, C] -> [B, C], sum over time
-            # NOTE: tried as an MXU dot-against-ones too — measured an exact
-            # wash vs the VPU reduce at every conv-stack shape (BASELINE.md
-            # round-2 negative results); keep the plain reduce.
-            return jnp.sum(y, axis=1)
-
-        def group_fold(per_channel):  # [B, C] -> [B, G]
-            return jnp.sum(
-                per_channel.reshape(b, self.groups, per_group), axis=-1)
-
-        def group_spread(per_group_vals):  # [B, G] -> [B, 1, C]
-            return jnp.repeat(per_group_vals, per_group, axis=-1)[:, None, :]
-
-        mean = group_spread(group_fold(t_reduce(xf)) / denom)
-        centered = xf - mean
-        var = group_spread(
-            group_fold(t_reduce(jnp.square(centered))) / denom)
-        out = gamma * (centered * jax.lax.rsqrt(var + self.epsilon)) + beta
+        del b, t, per_group  # shape math lives in _gn_core
+        out = _gn_core(self.groups, float(self.epsilon))(x, gamma, beta)
         return out.astype(self.dtype)
