@@ -168,3 +168,64 @@ def test_group_norm_analytic_vjp_matches_autodiff():
     for a, b_ in zip(g_core, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gn_single_read_moments():
+    """ops/pallas_gn.group_moments (interpret mode) must equal the jnp
+    two-pass per-(batch, group) moments exactly enough for GN (1e-5)."""
+    from tethys_tpu.ops import pallas_gn
+
+    old = pallas_gn._INTERPRET
+    pallas_gn._INTERPRET = True
+    try:
+        groups = 4
+        rng = np.random.default_rng(5)
+        # mean far from zero: the case where one-pass E[x^2]-mu^2 loses
+        # digits; the chunked Chan combine must not.
+        x = jnp.asarray(50.0 + rng.standard_normal((3, 96, 32)), jnp.float32)
+        got = pallas_gn.group_moments(x, groups)
+        assert got is not None
+        mean_g, var_g = got
+
+        b, t, c = x.shape
+        pg = c // groups
+        ref_mean = x.reshape(b, t, groups, pg).mean(axis=(1, 3))
+        ref_var = jnp.square(
+            x.reshape(b, t, groups, pg)
+            - ref_mean[:, None, :, None]).mean(axis=(1, 3))
+        np.testing.assert_allclose(np.asarray(mean_g), np.asarray(ref_mean),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(var_g), np.asarray(ref_var),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        pallas_gn._INTERPRET = old
+
+
+def test_group_norm_kernel_path_matches_jnp_path(monkeypatch):
+    """The GN forward via the single-read stats kernel (interpret mode;
+    opt-in knob — on-chip it measured slower, see norms._kernel_moments)
+    must match the plain jnp two-pass forward."""
+    import jax
+
+    from tethys_tpu.ops import pallas_gn
+    from tethys_tpu.ops.norms import ReferenceGroupNorm
+
+    monkeypatch.setenv("TETHYS_GN_KERNEL", "1")
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(7.0 + rng.standard_normal((4, 128, 64)), jnp.float32)
+    gn = ReferenceGroupNorm(groups=8)
+    params = gn.init(jax.random.PRNGKey(0), x)
+    ref = gn.apply(params, x)  # CPU, not interpret: jnp path
+
+    old = pallas_gn._INTERPRET
+    pallas_gn._INTERPRET = True
+    try:
+        from tethys_tpu.ops import norms
+
+        norms._gn_core.cache_clear()  # re-trace with the kernel path active
+        got = gn.apply(params, x)
+    finally:
+        pallas_gn._INTERPRET = old
+        norms._gn_core.cache_clear()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

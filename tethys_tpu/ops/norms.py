@@ -54,12 +54,45 @@ def _gn_core(groups: int, eps: float):
         pg = c // groups
         n = t * pg
         xf = x.astype(jnp.float32)
+        moments = _kernel_moments(x, t)
+        if moments is not None:
+            mean_g, var_g = moments
+            mu = _spread(mean_g, pg)
+            r = _spread(jax.lax.rsqrt(var_g + eps), pg)
+            y = gamma * ((xf - mu) * r) + beta
+            return y, (x, mu, r, gamma)
         mu = _spread(_fold(jnp.sum(xf, axis=1), b, pg) / n, pg)
         centered = xf - mu
         var = _fold(jnp.sum(jnp.square(centered), axis=1), b, pg) / n
         r = _spread(jax.lax.rsqrt(var + eps), pg)
         y = gamma * (centered * r) + beta
         return y, (x, mu, r, gamma)
+
+    def _kernel_moments(x, t):
+        """Single-read pallas moments (ops/pallas_gn) — OPT-IN ONLY
+        (TETHYS_GN_KERNEL=1): the whole-step A/B on the v5e chip measured
+        the kernel path SLOWER (42.4 vs 39.7 ms wav2vec2-base step) — the
+        pallas call forces the conv output to fully materialize before the
+        stats read, losing more overlap than the saved second pass buys
+        (BASELINE.md round-3 negative results; same failure mode as the
+        round-2 fused stats/apply attempt, now isolated to stats alone).
+        Kept behind the env knob with its correctness tests so the next
+        round doesn't rebuild it blind."""
+        import os
+
+        from tethys_tpu.ops import pallas_gn
+        from tethys_tpu.ops.attention import _on_tpu
+        from tethys_tpu.ops.pallas_dropout import auto_axes_in_scope
+
+        if os.environ.get("TETHYS_GN_KERNEL", "0") != "1":
+            return None
+        if t * x.shape[0] * x.shape[2] < (1 << 16):
+            return None  # tiny: not worth a kernel launch
+        if not (_on_tpu() or pallas_gn._INTERPRET):
+            return None
+        if auto_axes_in_scope():
+            return None
+        return pallas_gn.group_moments(x, groups)
 
     def fwd_rule(x, gamma, beta):
         y, res = _forward(x, gamma, beta)
