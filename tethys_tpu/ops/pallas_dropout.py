@@ -36,16 +36,32 @@ def _kernel(seed_ref, x_ref, o_ref, *, rate: float):
     o_ref[:] = jnp.where(keep, x_ref[:] * scale, 0.0).astype(o_ref.dtype)
 
 
+def _row_block(rows: int, cols: int) -> int:
+    """Largest multiple-of-8 divisor of `rows` that keeps the f32 VMEM block
+    under ~2 MB for `cols` lanes (cols rounded up to the 128-lane tile); 0
+    when rows has no multiple-of-8 divisor (caller falls back)."""
+    cols_pad = -(-cols // LANES) * LANES
+    max_rows = max(8, (1 << 21) // (4 * cols_pad))
+    best = 0
+    for r in range(8, min(rows, max_rows) + 1, 8):
+        if rows % r == 0:
+            best = r
+    return best
+
+
 def _run(x2d, seed_arr, rate):
     kernel = functools.partial(_kernel, rate=rate)
-    grid = (x2d.shape[0] // BLOCK_ROWS,)
+    rows, cols = x2d.shape
+    block_rows = _row_block(rows, cols) or min(rows, BLOCK_ROWS)
+    grid = (rows // block_rows,)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_: (i, 0))],
-            out_specs=pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_: (i, 0)),
+            in_specs=[pl.BlockSpec((block_rows, cols),
+                                   lambda i, *_: (i, 0))],
+            out_specs=pl.BlockSpec((block_rows, cols), lambda i, *_: (i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
         interpret=_INTERPRET,
@@ -165,17 +181,33 @@ def seed_from_rng(rng: jax.Array) -> jax.Array:
 
 def fused_dropout(x: jax.Array, rate: float, seed) -> jax.Array:
     """Dropout over an arbitrarily-shaped array (TPU PRNG, mask regenerated
-    in backward).  `seed`: python int or traced int32 scalar."""
+    in backward).  `seed`: python int or traced int32 scalar.
+
+    Round-3 layout fix: keep the array's own minor dim as the kernel's lane
+    axis — `x.reshape(-1, last)` collapses only the leading dims, which is
+    layout-preserving (free), where the old flatten-to-[N/128, 128] forced
+    a physical relayout copy in AND out for every tensor whose minor dim
+    isn't 128 (the [B,H,100,100] attention probs, [B,T,3072] FFN and
+    [B,T,d_model] hidden states — profiled at ~1.8 ms/step of reshapes on
+    wav2vec2-base).  Mosaic handles non-128-multiple lane dims by tiling
+    (100 -> one padded 128-lane tile), matching the tensor's existing
+    physical padding."""
     if rate <= 0.0:
         return x
     orig_shape = x.shape
     n = int(np.prod(orig_shape))
+    seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    if x.ndim >= 2:
+        last = orig_shape[-1]
+        rows = n // last
+        if _row_block(rows, last):
+            out = _dropout2d(x.reshape(rows, last), seed_arr, float(rate))
+            return out.reshape(orig_shape)
     cols = LANES
     rows = -(-n // cols)
     rows_pad = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
     flat = jnp.pad(x.reshape(-1), (0, rows_pad * cols - n))
     x2d = flat.reshape(rows_pad, cols)
-    seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
     out = _dropout2d(x2d, seed_arr, float(rate))
     return out.reshape(-1)[:n].reshape(orig_shape)
 
