@@ -34,9 +34,15 @@ def main() -> None:
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree over a 2-D (data, model)"
                              " mesh (extension; reference is DP-only)")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="sequence-parallel degree over a (data, seq) "
+                             "mesh (extension; pays off for long-audio "
+                             "configs — post-conv T is ~100 at 2 s clips)")
     parser.add_argument("--remat", action="store_true",
                         help="checkpoint the forward pass (large-model HBM)")
     args = parser.parse_args()
+    if args.tp > 1 and args.sp > 1:
+        parser.error("--tp and --sp are mutually exclusive")
 
     from tethys_tpu.parallel import mesh as mesh_lib
     from tethys_tpu.train import jobs
@@ -47,6 +53,11 @@ def main() -> None:
         from tethys_tpu.parallel import tp as tp_lib
 
         mesh = tp_lib.make_2d_mesh(model_parallel=args.tp)
+        n_replicas = dict(mesh.shape)["data"]
+    elif args.sp > 1:
+        from tethys_tpu.parallel import sp as sp_lib
+
+        mesh = sp_lib.make_seq_mesh(seq_parallel=args.sp)
         n_replicas = dict(mesh.shape)["data"]
     else:
         mesh = mesh_lib.make_data_mesh()
@@ -74,6 +85,7 @@ def main() -> None:
             resume=args.resume,
             collective_report=True,
             tensor_parallel=args.tp,
+            seq_parallel=args.sp,
             remat=args.remat,
         )
     jct = time.time() - start

@@ -209,3 +209,82 @@ def test_sp_step_actually_shards_sequence():
                      jax.random.PRNGKey(0)).compile().as_text()
     assert ("all-gather" in hlo or "collective-permute" in hlo
             or "all-to-all" in hlo), "no sequence collectives in HLO"
+
+
+W2V_TINY = dict(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64,
+    conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+    num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=4,
+    num_codevectors_per_group=12, num_codevector_groups=2,
+    codevector_dim=16, proj_codevector_dim=16, num_negatives=6,
+)
+
+
+def test_sp_hardened_wav2vec2_matches_dp():
+    """Round-3: wav2vec2 gains the same SP hooks as Whisper (closes the
+    round-2 asymmetry).  The hardened SP step (data=2 x seq=4; post-conv
+    T=400 sharded over 'seq') must equal the hardened DP step (data=2) on
+    identical data — loss contract AND params."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    import optax
+
+    from tethys_tpu.models import wav2vec2 as w2v_lib
+    from tethys_tpu.parallel.mesh import make_data_mesh
+
+    model, config = w2v_lib.create_full_model(
+        "pretraining", "tiny", **W2V_TINY)
+    rng0 = np.random.default_rng(0)
+    audio = jnp.asarray(rng0.standard_normal((4, 4000)), jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        audio[:1], training=True, deterministic=True)["params"]
+
+    def loss_fn(p, batch, step_rng):
+        rng_dropout, rng_neg = jax.random.split(step_rng)
+        out = model.apply({"params": p}, batch[0], training=True,
+                          deterministic=True, rngs={"dropout": rng_dropout})
+        return w2v_lib.pretraining_loss(config, out, rng_neg)
+
+    opt = optax.sgd(1e-3)
+    rng = jax.random.PRNGKey(3)
+    batch = (audio,)
+
+    params_host = jax.device_get(params)  # DP step donates its state
+    dp_mesh = make_data_mesh(2)
+    dp_state = dp.replicate_state(
+        dp.TrainState(params_host, opt.init(params_host)), dp_mesh)
+    dp_step = dp.make_train_step(loss_fn, opt, dp_mesh, hardened=True)
+    dp_out, loss_dp = dp_step(dp_state, dp.shard_batch(batch, dp_mesh), rng)
+    golden = jax.device_get(dp_out.params)
+
+    mesh = sp.make_seq_mesh(8, seq_parallel=4)
+    state = sp.init_sp_state(params, opt, mesh)
+    step = sp.make_sp_train_step(loss_fn, opt, mesh, hardened=True)
+    new_state, loss_sp = step(state, batch, rng)
+
+    np.testing.assert_allclose(float(loss_sp), float(loss_dp), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-6),
+        jax.device_get(new_state.params), golden)
+
+
+def test_train_wav2vec2_seq_parallel_e2e():
+    """The wav2vec2 --sp job path end to end (2 steps, tiny model,
+    dp=2 x seq=4)."""
+    from tethys_tpu.train import jobs
+
+    result, _, _ = jobs.train_wav2vec2(
+        model_type="pretraining",
+        model_size="tiny",
+        batch_size_per_replica=1,
+        num_batches=2,
+        checkpointing=False,
+        audio_length=4000,
+        config_overrides=W2V_TINY,
+        seq_parallel=4,
+    )
+    assert result.total_steps == 2
+    assert all(np.isfinite(result.losses))

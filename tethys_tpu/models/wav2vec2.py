@@ -177,6 +177,15 @@ class Wav2Vec2Encoder(nn.Module):
     def __call__(self, x: jax.Array, attention_mask=None,
                  deterministic: bool = True) -> Dict[str, jax.Array]:
         cfg = self.config
+        # Sequence-parallel hook (no-op unless a trainer installed
+        # ops.sharding.seq_axis_rules — same mechanism as the Whisper
+        # encoder; closes the round-2 asymmetry where SP was whisper-only).
+        # Wav2Vec2's post-conv T is short (~100 for 2 s clips) so SP pays
+        # off only for long-audio configs, but the hooks make the sp
+        # trainer model-agnostic either way.
+        from tethys_tpu.ops.sharding import seq_constrain
+
+        x = seq_constrain(x)
         if cfg.scan_layers:
             x, stacked = self._scanned_layers(x, attention_mask, deterministic)
             if cfg.use_weighted_layer_sum:
@@ -194,6 +203,7 @@ class Wav2Vec2Encoder(nn.Module):
                 x = Wav2Vec2EncoderLayer(cfg, name=f"layers_{i}")(
                     x, attention_mask, deterministic=deterministic
                 )
+                x = seq_constrain(x)
         return {"last_hidden_state": x}
 
     def _scanned_layers(self, x, attention_mask, deterministic):

@@ -308,6 +308,7 @@ def train_wav2vec2(
     resume: bool = False,
     collective_report: bool = False,
     tensor_parallel: int = 1,
+    seq_parallel: int = 1,
     remat: bool = False,
 ):
     """End-to-end Wav2Vec2 training job (reference train_wav2vec2,
@@ -317,18 +318,28 @@ def train_wav2vec2(
 
     `tensor_parallel > 1` trains over a 2-D (data, model) mesh (extension;
     tp.py's sharding rules cover the wav2vec2 convs, quantizer codebook,
-    and trunk matmuls).  The TP trainer keeps the reference's hardened
-    aggregation contract per model-parallel group (round-3 fix: NaN scrub,
-    1/N, per-replica clip, SUM-of-replica-losses logging — the scraped
-    stdout loss line means the same thing with or without --tp)."""
+    and trunk matmuls); `seq_parallel > 1` over a (data, seq) mesh with
+    the post-conv encoder time axis sharded (same hooks as Whisper —
+    pays off for long-audio configs, T≈100 at the default 2 s clips).
+    Both keep the reference's hardened aggregation contract per parallel
+    group (round-3 fix: NaN scrub, 1/N, per-replica clip,
+    SUM-of-replica-losses logging — the scraped stdout loss line means
+    the same thing with or without --tp/--sp)."""
+    if tensor_parallel > 1 and seq_parallel > 1:
+        raise ValueError("tensor_parallel and seq_parallel are exclusive")
     if tensor_parallel > 1:
         from tethys_tpu.parallel import tp as tp_lib
 
         mesh = mesh or tp_lib.make_2d_mesh(model_parallel=tensor_parallel)
+    elif seq_parallel > 1:
+        from tethys_tpu.parallel import sp as sp_lib
+
+        mesh = mesh or sp_lib.make_seq_mesh(seq_parallel=seq_parallel)
     else:
         mesh = mesh or mesh_lib.make_data_mesh()
     # Each process feeds its local shard; global batch = per-replica × n.
-    model_par = dict(mesh.shape).get("model", 1)
+    model_par = (dict(mesh.shape).get("model", 1)
+                 * dict(mesh.shape).get("seq", 1))
     data_batch = batch_size_per_replica * max(
         len(mesh.local_devices) // model_par, 1)
 
@@ -341,6 +352,8 @@ def train_wav2vec2(
     optimizer = dp.wav2vec2_optimizer(learning_rate)
     if tensor_parallel > 1:
         state = tp_lib.init_tp_state(params, optimizer, mesh)
+    elif seq_parallel > 1:
+        state = sp_lib.init_sp_state(params, optimizer, mesh)
     else:
         state = dp.TrainState(params, optimizer.init(params))
         state = dp.replicate_state(state, mesh)
@@ -427,6 +440,11 @@ def train_wav2vec2(
 
     if tensor_parallel > 1:
         step_fn = tp_lib.make_tp_train_step(
+            loss_fn, optimizer, mesh, remat=remat, hardened=True,
+            return_aux=return_aux, grad_aux_fn=grad_aux_fn,
+        )
+    elif seq_parallel > 1:
+        step_fn = sp_lib.make_sp_train_step(
             loss_fn, optimizer, mesh, remat=remat, hardened=True,
             return_aux=return_aux, grad_aux_fn=grad_aux_fn,
         )
