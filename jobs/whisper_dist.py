@@ -31,11 +31,17 @@ def main() -> None:
     parser.add_argument("--sp", type=int, default=1,
                         help="sequence-parallel degree over a (data, seq) "
                              "mesh: encoder time axis sharded (extension)")
+    parser.add_argument("--pp", type=int, default=1,
+                        help="pipeline-parallel degree over a (data, stage) "
+                             "mesh: encoder layer stack GPipe-pipelined "
+                             "(extension)")
+    parser.add_argument("--microbatches", type=int, default=2,
+                        help="microbatches per step under --pp")
     parser.add_argument("--remat", action="store_true",
                         help="checkpoint the forward pass (medium/large HBM)")
     args = parser.parse_args()
-    if args.tp > 1 and args.sp > 1:
-        parser.error("--tp and --sp are mutually exclusive")
+    if sum(p > 1 for p in (args.tp, args.sp, args.pp)) > 1:
+        parser.error("--tp, --sp and --pp are mutually exclusive")
 
     from tethys_tpu.parallel import mesh as mesh_lib
     from tethys_tpu.train import jobs
@@ -51,6 +57,11 @@ def main() -> None:
         from tethys_tpu.parallel import sp as sp_lib
 
         mesh = sp_lib.make_seq_mesh(seq_parallel=args.sp)
+        n_replicas = dict(mesh.shape)["data"]
+    elif args.pp > 1:
+        from tethys_tpu.parallel import pp as pp_lib
+
+        mesh = pp_lib.make_pp_mesh(pipeline_parallel=args.pp)
         n_replicas = dict(mesh.shape)["data"]
     else:
         mesh = mesh_lib.make_data_mesh()
@@ -77,6 +88,8 @@ def main() -> None:
             collective_report=True,
             tensor_parallel=args.tp,
             seq_parallel=args.sp,
+            pipeline_parallel=args.pp,
+            num_microbatches=args.microbatches,
             remat=args.remat,
         )
     jct = time.time() - start

@@ -154,6 +154,8 @@ def train_whisper(
     collective_report: bool = False,
     tensor_parallel: int = 1,
     seq_parallel: int = 1,
+    pipeline_parallel: int = 1,
+    num_microbatches: int = 2,
     remat: bool = False,
 ):
     """End-to-end Whisper training job (reference train_whisper,
@@ -164,11 +166,16 @@ def train_whisper(
 
     `tensor_parallel > 1` trains over a 2-D (data, model) mesh with
     Megatron-style param shardings; `seq_parallel > 1` over a (data, seq)
-    mesh with the encoder time axis sharded (both extensions — the
-    reference has data parallelism only, SURVEY §2.6); `remat` checkpoints
-    the forward for medium/large-model HBM fits."""
-    if tensor_parallel > 1 and seq_parallel > 1:
-        raise ValueError("tensor_parallel and seq_parallel are exclusive")
+    mesh with the encoder time axis sharded; `pipeline_parallel > 1` over
+    a (data, stage) mesh with the encoder layer stack GPipe-pipelined
+    across stages (all extensions — the reference has data parallelism
+    only, SURVEY §2.6); `remat` checkpoints the forward for
+    medium/large-model HBM fits."""
+    if sum(p > 1 for p in
+           (tensor_parallel, seq_parallel, pipeline_parallel)) > 1:
+        raise ValueError(
+            "tensor_parallel / seq_parallel / pipeline_parallel are "
+            "mutually exclusive")
     if tensor_parallel > 1:
         from tethys_tpu.parallel import tp as tp_lib
 
@@ -177,12 +184,18 @@ def train_whisper(
         from tethys_tpu.parallel import sp as sp_lib
 
         mesh = mesh or sp_lib.make_seq_mesh(seq_parallel=seq_parallel)
+    elif pipeline_parallel > 1:
+        from tethys_tpu.parallel import pp as pp_lib
+
+        mesh = mesh or pp_lib.make_pp_mesh(
+            pipeline_parallel=pipeline_parallel)
     else:
         mesh = mesh or mesh_lib.make_data_mesh()
     # Multi-process: each process feeds only its local shard of the global
     # batch (dp.shard_batch assembles the global array across processes).
     model_par = (dict(mesh.shape).get("model", 1)
-                 * dict(mesh.shape).get("seq", 1))
+                 * dict(mesh.shape).get("seq", 1)
+                 * dict(mesh.shape).get("stage", 1))
     data_batch = batch_size_per_replica * max(
         len(mesh.local_devices) // model_par, 1)
 
@@ -196,6 +209,8 @@ def train_whisper(
         state = tp_lib.init_tp_state(params, optimizer, mesh)
     elif seq_parallel > 1:
         state = sp_lib.init_sp_state(params, optimizer, mesh)
+    elif pipeline_parallel > 1:
+        state = pp_lib.init_pp_state(params, optimizer, mesh, config)
     else:
         state = dp.TrainState(params, optimizer.init(params))
         state = dp.replicate_state(state, mesh)
@@ -246,6 +261,13 @@ def train_whisper(
     elif seq_parallel > 1:
         step_fn = sp_lib.make_sp_train_step(loss_fn, optimizer, mesh,
                                             remat=remat)
+    elif pipeline_parallel > 1:
+        # The PP step owns the model forward (the GPipe schedule replaces
+        # the encoder layer loop); loss_fn/loss_fn_wrapper don't apply.
+        step_fn = pp_lib.make_pp_train_step(
+            model, optimizer, mesh, state,
+            num_microbatches=num_microbatches, remat=remat,
+            deterministic=False)
     else:
         step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
     if collective_report:
@@ -283,6 +305,14 @@ def train_whisper(
     )
     if _bridge is not None:
         _bridge.stop()
+    if pipeline_parallel > 1:
+        # In-loop checkpoints stay in the packed (stage-sharded) layout so
+        # --resume round-trips; the returned/final-saved params go back to
+        # the canonical layers_{i} tree for interop.
+        result = result._replace(state=dp.TrainState(
+            pp_lib.unpack_params(jax.device_get(result.state.params),
+                                 config.encoder_layers),
+            result.state.opt_state))
     return result, model, config
 
 
