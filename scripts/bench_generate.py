@@ -34,6 +34,9 @@ def main() -> None:
     p.add_argument("--model", default="base")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--early_stop_chunk", type=int, default=None,
+                   help="decode in C-step chunks inside a lax.while_loop "
+                        "(stops within C-1 steps of a global EOS)")
     args = p.parse_args()
 
     from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
@@ -70,8 +73,9 @@ def main() -> None:
     # the ~300 MB upload is rejected (HTTP 413) or crawls for tens of
     # minutes.
     gen = jax.jit(
-        lambda v, feats: greedy_generate(model, v, feats,
-                                         max_length=args.length))
+        lambda v, feats: greedy_generate(
+            model, v, feats, max_length=args.length,
+            early_stop_chunk=args.early_stop_chunk))
     encode = jax.jit(
         lambda v, feats: model.apply(v, feats, method=model.encode))
 

@@ -146,3 +146,36 @@ def test_prepare_inputs_for_generation(tiny_setup):
                        method=model.prepare_inputs_for_generation)
     np.testing.assert_array_equal(np.asarray(out2["decoder_input_ids"]),
                                   np.asarray(ids))
+
+
+def test_generate_chunked_early_stop_matches_plain(tiny_setup):
+    """early_stop_chunk (while-of-scans) must be output-identical to the
+    plain fixed-length scan — both without EOS (runs all chunks, incl. the
+    rounded-up final one) and with a guaranteed global EOS at step 1
+    (exits after the first chunk)."""
+    model, config, params, features, labels = tiny_setup
+
+    plain = greedy_generate(model, {"params": params}, features,
+                            max_length=13)
+    for chunk in (4, 5, 13, 16):
+        chunked = greedy_generate(model, {"params": params}, features,
+                                  max_length=13, early_stop_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(plain[0]),
+                                      np.asarray(chunked[0]))
+        assert int(plain[1]) == int(chunked[1])
+
+    # Exercise the genuine early EXIT: batch 1, and declare whatever token
+    # the model actually emits first to be EOS — `done` then triggers at
+    # step 1 and the while loop must stop after its first chunk with
+    # identical outputs.
+    import dataclasses
+
+    first_tok = int(np.asarray(plain[0])[0, 1])
+    eos_config = dataclasses.replace(config, eos_token_id=first_tok)
+    eos_model = type(model)(eos_config)
+    p1 = greedy_generate(eos_model, {"params": params}, features[:1],
+                         max_length=13)
+    c1 = greedy_generate(eos_model, {"params": params}, features[:1],
+                         max_length=13, early_stop_chunk=4)
+    np.testing.assert_array_equal(np.asarray(p1[0]), np.asarray(c1[0]))
+    assert int(p1[1]) == int(c1[1]) == 2  # start + the EOS step

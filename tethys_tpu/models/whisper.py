@@ -504,6 +504,7 @@ def greedy_generate(
     max_length: Optional[int] = None,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    early_stop_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Greedy decoding with KV cache, jit-compatible.
 
@@ -519,12 +520,21 @@ def greedy_generate(
     del temperature, top_k  # argmax-invariant; kept for API parity
     batch = input_features.shape[0]
 
+    # Buffer length: the chunked early-stop path rounds up to a whole
+    # number of chunks; overrun slots are sliced off before returning.
+    chunk = early_stop_chunk
+    if chunk is not None:
+        n_chunks = -(-max_length // chunk)
+        buf_len = n_chunks * chunk
+    else:
+        buf_len = max_length
+
     encoder_hidden = model.apply(variables, input_features, method=model.encode)
     cross_kvs = model.apply(variables, encoder_hidden,
                             method=model.precompute_cross_kv)
-    caches = init_kv_caches(cfg, batch, max_length)
+    caches = init_kv_caches(cfg, batch, buf_len)
 
-    tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id, dtype=jnp.int32)
+    tokens = jnp.full((batch, buf_len + 1), cfg.pad_token_id, dtype=jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
 
     # lax.scan over the fixed max_length, not lax.while_loop: the while
@@ -534,6 +544,12 @@ def greedy_generate(
     # their initial pad fill untouched) and `n` freezes at the stop step —
     # the scan merely keeps executing masked steps, trading wasted FLOPs
     # after a global stop for a compilable program.
+    #
+    # `early_stop_chunk=C` (opt-in) bounds that waste: a lax.while_loop over
+    # chunks, each chunk a C-step scan — at most C-1 wasted steps after a
+    # global EOS instead of max_length-i, with a while body big enough to
+    # dodge the per-token-while compile pathology.  Output-identical to the
+    # plain scan (test-pinned).
     def body(carry, i):
         tokens, caches, done, n = carry
         current = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
@@ -550,9 +566,23 @@ def greedy_generate(
         done = jnp.logical_or(done, jnp.all(next_tokens == cfg.eos_token_id))
         return (tokens, caches, done, n), None
 
-    (tokens, _, _, length), _ = jax.lax.scan(
-        body,
-        (tokens, caches, jnp.bool_(False), jnp.int32(0)),
-        jnp.arange(max_length),
-    )
-    return tokens, length + 1
+    init = (tokens, caches, jnp.bool_(False), jnp.int32(0))
+    if chunk is None:
+        (tokens, _, _, length), _ = jax.lax.scan(
+            body, init, jnp.arange(max_length))
+        return tokens, length + 1
+
+    def cond_fn(carry):
+        (_, _, done, _), c = carry
+        return jnp.logical_and(jnp.logical_not(done), c < n_chunks)
+
+    def while_body(carry):
+        inner, c = carry
+        inner, _ = jax.lax.scan(body, inner, c * chunk + jnp.arange(chunk))
+        return inner, c + 1
+
+    (tokens, _, _, length), _ = jax.lax.while_loop(
+        cond_fn, while_body, (init, jnp.int32(0)))
+    tokens = tokens[:, : max_length + 1]
+    length = jnp.minimum(length + 1, max_length + 1)
+    return tokens, length
