@@ -547,9 +547,11 @@ def greedy_generate(
     #
     # `early_stop_chunk=C` (opt-in) bounds that waste: a lax.while_loop over
     # chunks, each chunk a C-step scan — at most C-1 wasted steps after a
-    # global EOS instead of max_length-i, with a while body big enough to
-    # dodge the per-token-while compile pathology.  Output-identical to the
-    # plain scan (test-pinned).
+    # global EOS instead of max_length-i.  Output-identical to the plain
+    # scan (test-pinned).  NOTE: on the round-3 remote-compile TPU
+    # toolchain even this chunked while form did not compile within 25 min
+    # (whisper-base, C=32, len 128 — BASELINE.md), so it stays opt-in for
+    # toolchains without the while_loop pathology.
     def body(carry, i):
         tokens, caches, done, n = carry
         current = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
