@@ -21,6 +21,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
+TP_WORKER = os.path.join(REPO, "tests", "_mp_tp_worker.py")
 
 
 def _free_port() -> int:
@@ -29,7 +30,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_cluster(n_processes: int) -> list:
+def _run_cluster(n_processes: int, worker: str = WORKER) -> list:
     chief_addr = f"127.0.0.1:{_free_port()}"
     worker_addrs = [f"127.0.0.1:{_free_port()}"
                     for _ in range(n_processes - 1)]
@@ -53,7 +54,7 @@ def _run_cluster(n_processes: int) -> list:
     tasks = [("chief", 0)] + [("worker", i) for i in range(n_processes - 1)]
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER], env=env_for(t, i),
+            [sys.executable, worker], env=env_for(t, i),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for t, i in tasks
@@ -84,3 +85,19 @@ def test_n_process_dp_step_over_localhost(n_processes):
     want = 16.0 * sum((i + 1) ** 2 for i in range(n_processes))
     assert all(l == losses[0] for l in losses)
     assert abs(losses[0] - want) < 1e-3
+
+
+def test_4_process_tensor_parallel_step_over_localhost():
+    """Round-3: the partial-manual TP trainer across PROCESS boundaries —
+    a (data=2, model=2) mesh over 4 single-device processes, fc1 kernel
+    Megatron-sharded across two processes per data replica, manual-'data'
+    psum + GSPMD 'model' collectives riding gloo.  Every process must log
+    the identical, analytically-known SUM loss (80.0)."""
+    outs = _run_cluster(4, worker=TP_WORKER)
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("MP_TP_OK")]
+        assert line, out
+        losses.append(float(line[0].split("loss=")[1]))
+    assert all(l == losses[0] for l in losses)
+    assert abs(losses[0] - 80.0) < 1e-3
