@@ -125,6 +125,72 @@ def test_tp_sharded_resume_equals_uninterrupted(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_pp_packed_resume_equals_uninterrupted(tmp_path):
+    """--pp --resume round-trip: in-loop checkpoints stay in the packed
+    (stage-sharded) {"other", "stack"} layout (train/jobs.py PP branch), so
+    save@2 + restore_like into the live PP state + 2 more steps must equal
+    4 straight PP steps, with the restored stack still stage-sharded."""
+    import optax
+
+    from tethys_tpu.models.whisper import create_whisper_model
+    from tethys_tpu.parallel import pp
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 simulated devices")
+
+    model, config = create_whisper_model(
+        "tiny",
+        d_model=32, encoder_layers=4, encoder_attention_heads=2,
+        decoder_layers=1, decoder_attention_heads=2, d_ff=64,
+        n_mels=8, n_ctx=32, vocab_size=64, max_target_positions=32,
+        decoder_start_token_id=63,
+    )
+    rng_np = np.random.default_rng(3)
+    feats = jnp.asarray(rng_np.standard_normal((8, config.n_mels, 64)),
+                        dtype=jnp.float32)
+    labels = jnp.asarray(rng_np.integers(3, 60, size=(8, 8)),
+                         dtype=jnp.int32)
+    params = jax.device_get(model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        feats[:1], labels=labels[:1], deterministic=True,
+    )["params"])
+    opt = optax.sgd(1e-2)
+    mesh = pp.make_pp_mesh(8, pipeline_parallel=4)
+    keys = [jax.random.PRNGKey(i) for i in range(4)]
+    mgr = CheckpointManager(str(tmp_path / "c"))
+
+    def fresh():
+        state = pp.init_pp_state(params, opt, mesh, config)
+        step = pp.make_pp_train_step(model, opt, mesh, state,
+                                     num_microbatches=2, deterministic=True)
+        return state, step
+
+    s, step = fresh()
+    for k in keys:
+        s, _ = step(s, (feats, labels), k)
+    straight = jax.device_get(s)
+
+    s, step = fresh()
+    for k in keys[:2]:
+        s, _ = step(s, (feats, labels), k)
+    mgr.save("pp_step_2", s)
+
+    live, step = fresh()
+    restored = mgr.restore_like("pp_step_2", live)
+    leaf = restored.params["stack"]["self_attn"]["q_proj"]["kernel"]
+    assert {sh.data.shape for sh in leaf.addressable_shards} == \
+        {(1, 32, 32)}, "restore_like must land the stack stage-sharded"
+    for k in keys[2:]:
+        restored, _ = step(restored, (feats, labels), k)
+    resumed = jax.device_get(restored)
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_final_weights_save(tmp_path, monkeypatch):
     monkeypatch.setenv("TETHYS_WORKSPACE", str(tmp_path))
     params = {"w": jnp.ones((2, 2))}
