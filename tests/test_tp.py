@@ -290,3 +290,67 @@ def test_tp_sharded_generate_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(tokens_ref),
                                   np.asarray(tokens_tp))
     assert int(len_ref) == int(len_tp)
+
+
+def test_w2v2_tp_hardened_step_matches_dp_step():
+    """The hardened TP step on the REAL wav2vec2 pretraining model
+    (data=4 x model=2; Megatron-sharded trunk, conv stack, and quantizer
+    codebook) must equal the hardened DP step (data=4) on identical data —
+    loss contract AND params.  Completes the real-model equality matrix:
+    whisper TP (above), wav2vec2 SP (test_sp.py), wav2vec2 TP (here)."""
+    import optax
+    import pytest
+
+    from tethys_tpu.models import wav2vec2 as w2v_lib
+    from tethys_tpu.parallel.mesh import make_data_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+
+    model, config = w2v_lib.create_full_model(
+        "pretraining", "tiny",
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64,
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=4,
+        num_codevectors_per_group=12, num_codevector_groups=2,
+        codevector_dim=16, proj_codevector_dim=16, num_negatives=6,
+    )
+    rng0 = np.random.default_rng(4)
+    audio = jnp.asarray(rng0.standard_normal((8, 4000)), jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        audio[:1], training=True, deterministic=True)["params"]
+
+    def loss_fn(p, batch, step_rng):
+        rng_dropout, rng_neg = jax.random.split(step_rng)
+        out = model.apply({"params": p}, batch[0], training=True,
+                          deterministic=True, rngs={"dropout": rng_dropout})
+        return w2v_lib.pretraining_loss(config, out, rng_neg)
+
+    opt = optax.sgd(1e-3)
+    rng = jax.random.PRNGKey(11)
+    batch = (audio,)
+
+    params_host = jax.device_get(params)  # DP step donates its state
+    dp_mesh = make_data_mesh(4)
+    dp_state = dp.replicate_state(
+        dp.TrainState(params_host, opt.init(params_host)), dp_mesh)
+    dp_step = dp.make_train_step(loss_fn, opt, dp_mesh, hardened=True)
+    dp_out, loss_dp = dp_step(dp_state, dp.shard_batch(batch, dp_mesh), rng)
+    golden = jax.device_get(dp_out.params)
+
+    mesh = tp.make_2d_mesh(8, model_parallel=2)
+    state = tp.init_tp_state(params, opt, mesh)
+    kern = state.params["wav2vec2"]["encoder"]["layers_0"]["attention"][
+        "q_proj"]["kernel"]
+    assert {s.data.shape for s in kern.addressable_shards} == {(32, 16)}, \
+        "trunk must be Megatron-sharded for this test to mean anything"
+    step = tp.make_tp_train_step(loss_fn, opt, mesh, hardened=True)
+    new_state, loss_tp = step(state, batch, rng)
+
+    np.testing.assert_allclose(float(loss_tp), float(loss_dp), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-6),
+        jax.device_get(new_state.params), golden)
