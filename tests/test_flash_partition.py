@@ -270,3 +270,33 @@ def test_uneven_local_query_block():
     for g_ref, g in zip(golden_grads, grads):
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pp_trainer_step_with_flash_matches_plain(_force_flash):
+    """Full whisper PP train step (data=2 x stage=2 GPipe schedule) with
+    use_flash=True == plain step: the pallas kernel runs on the per-stage
+    local activations inside the fully-manual shard_map region (no
+    partitioner involvement — each stage sees unsharded [local_B, H, T, D]
+    blocks), completing the flash x {TP, SP, PP} composition matrix."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    from tethys_tpu.parallel import pp
+
+    model, params, feats, labels = _tiny_whisper()
+    assert model.config.use_flash_attention
+    rng = jax.random.PRNGKey(7)
+    opt, _, p_plain, loss_plain = _dp_sgd_step(
+        model, params, feats, labels, rng, n_data=2)
+
+    mesh = pp.make_pp_mesh(4, pipeline_parallel=2)
+    state = pp.init_pp_state(params, opt, mesh, model.config)
+    step = pp.make_pp_train_step(model, opt, mesh, state,
+                                 num_microbatches=2, deterministic=True)
+    new_state, loss_pp = step(state, (feats, labels), rng)
+    np.testing.assert_allclose(float(loss_pp), float(loss_plain), rtol=1e-5)
+    unpacked = pp.unpack_params(jax.device_get(new_state.params),
+                                model.config.encoder_layers)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        unpacked, jax.device_get(p_plain))
