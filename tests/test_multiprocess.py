@@ -22,6 +22,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
 TP_WORKER = os.path.join(REPO, "tests", "_mp_tp_worker.py")
+PP_WORKER = os.path.join(REPO, "tests", "_mp_pp_worker.py")
 
 
 def _free_port() -> int:
@@ -101,3 +102,44 @@ def test_4_process_tensor_parallel_step_over_localhost():
         losses.append(float(line[0].split("loss=")[1]))
     assert all(l == losses[0] for l in losses)
     assert abs(losses[0] - 80.0) < 1e-3
+
+
+def test_4_process_pipeline_parallel_step_over_localhost():
+    """The GPipe trainer across PROCESS boundaries — a (data=2, stage=2)
+    mesh over 4 single-device processes: ppermute activation hops (forward
+    and reversed-backward), 'stage' grad psums, and the 'data' loss psum
+    all ride gloo.  Every process must log the identical
+    SUM-of-replica-losses, equal to the DP golden computed locally on the
+    same params/batch."""
+    outs = _run_cluster(4, worker=PP_WORKER)
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("MP_PP_OK")]
+        assert line, out
+        losses.append(float(line[0].split("loss=")[1]))
+    assert all(l == losses[0] for l in losses)
+
+    # DP golden on a local 2-device mesh from the identical params/batch.
+    import jax
+    import numpy as np
+    import optax
+
+    from tests._mp_pp_worker import build_model_and_batch
+    from tethys_tpu.parallel import dp
+    from tethys_tpu.parallel.mesh import make_data_mesh
+
+    model, _, params, feats, labels = build_model_and_batch()
+
+    def loss_fn(p, batch, rng):
+        f, l = batch
+        out = model.apply({"params": p}, f, labels=l, deterministic=True)
+        return out["loss"], {}
+
+    opt = optax.sgd(0.0)
+    mesh = make_data_mesh(2)
+    state = dp.replicate_state(
+        dp.TrainState(params, opt.init(params)), mesh)
+    step = dp.make_train_step(loss_fn, opt, mesh, hardened=False)
+    _, golden = step(state, dp.shard_batch((feats, labels), mesh),
+                     jax.random.PRNGKey(0))
+    np.testing.assert_allclose(losses[0], float(golden), rtol=1e-5)
