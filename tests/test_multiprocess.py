@@ -23,6 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
 TP_WORKER = os.path.join(REPO, "tests", "_mp_tp_worker.py")
 PP_WORKER = os.path.join(REPO, "tests", "_mp_pp_worker.py")
+SP_WORKER = os.path.join(REPO, "tests", "_mp_sp_worker.py")
 
 
 def _free_port() -> int:
@@ -120,6 +121,47 @@ def test_4_process_pipeline_parallel_step_over_localhost():
     assert all(l == losses[0] for l in losses)
 
     # DP golden on a local 2-device mesh from the identical params/batch.
+    import jax
+    import numpy as np
+    import optax
+
+    from tests._mp_pp_worker import build_model_and_batch
+    from tethys_tpu.parallel import dp
+    from tethys_tpu.parallel.mesh import make_data_mesh
+
+    model, _, params, feats, labels = build_model_and_batch()
+
+    def loss_fn(p, batch, rng):
+        f, l = batch
+        out = model.apply({"params": p}, f, labels=l, deterministic=True)
+        return out["loss"], {}
+
+    opt = optax.sgd(0.0)
+    mesh = make_data_mesh(2)
+    state = dp.replicate_state(
+        dp.TrainState(params, opt.init(params)), mesh)
+    step = dp.make_train_step(loss_fn, opt, mesh, hardened=False)
+    _, golden = step(state, dp.shard_batch((feats, labels), mesh),
+                     jax.random.PRNGKey(0))
+    np.testing.assert_allclose(losses[0], float(golden), rtol=1e-5)
+
+
+def test_4_process_seq_parallel_step_over_localhost():
+    """The SP trainer across PROCESS boundaries — a (data=2, seq=2) mesh
+    over 4 single-device processes: the encoder time axis spans two
+    processes per data replica, so GSPMD's auto-'seq' collectives (K/V
+    all-gathers, grad reductions) ride gloo alongside the manual-'data'
+    psum.  Every process must log the identical SUM-of-replica-losses,
+    equal to the DP golden computed locally on the same params/batch.
+    Completes the multi-process matrix: DP (2 and 4), TP, PP, SP."""
+    outs = _run_cluster(4, worker=SP_WORKER)
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("MP_SP_OK")]
+        assert line, out
+        losses.append(float(line[0].split("loss=")[1]))
+    assert all(l == losses[0] for l in losses)
+
     import jax
     import numpy as np
     import optax
