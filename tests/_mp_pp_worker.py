@@ -79,8 +79,18 @@ def main() -> None:
     step = pp.make_pp_train_step(model, opt, mesh, state,
                                  num_microbatches=2, deterministic=True)
     batch = dp.shard_batch((feats, labels), mesh)
-    _, loss = step(state, batch, jax.random.PRNGKey(0))
+    new_state, loss = step(state, batch, jax.random.PRNGKey(0))
     loss = float(jax.device_get(loss))
+
+    # The train_whisper(--pp) finalization path: other stages' shards are
+    # NOT addressable from this process, so a bare device_get would raise —
+    # gather_unpacked_params must all-gather and return the canonical tree.
+    unpacked = pp.gather_unpacked_params(new_state.params,
+                                         config.encoder_layers, mesh)
+    assert "layers_0" in unpacked["model"]["encoder"], unpacked.keys()
+    assert all(np.all(np.isfinite(np.asarray(leaf)))
+               for leaf in jax.tree_util.tree_leaves(unpacked))
+
     print(f"MP_PP_OK process={jax.process_index()} loss={loss:.6f}",
           flush=True)
 

@@ -150,19 +150,27 @@ def test_prepare_inputs_for_generation(tiny_setup):
 
 def test_generate_chunked_early_stop_matches_plain(tiny_setup):
     """early_stop_chunk (while-of-scans) must be output-identical to the
-    plain fixed-length scan — both without EOS (runs all chunks, incl. the
-    rounded-up final one) and with a guaranteed global EOS at step 1
-    (exits after the first chunk)."""
+    plain fixed-length scan — both without EOS (runs all chunks) and with
+    a guaranteed global EOS at step 1 (exits after the first chunk).  A
+    non-dividing chunk is rejected up front: whole chunks run to
+    completion, so it would overrun max_length (positional-table reads
+    past max_target_positions when max_length equals it) and do MORE work
+    than the plain scan in the no-EOS case."""
+    import pytest
+
     model, config, params, features, labels = tiny_setup
 
     plain = greedy_generate(model, {"params": params}, features,
-                            max_length=13)
-    for chunk in (4, 5, 13, 16):
+                            max_length=12)
+    for chunk in (3, 4, 6, 12):
         chunked = greedy_generate(model, {"params": params}, features,
-                                  max_length=13, early_stop_chunk=chunk)
+                                  max_length=12, early_stop_chunk=chunk)
         np.testing.assert_array_equal(np.asarray(plain[0]),
                                       np.asarray(chunked[0]))
         assert int(plain[1]) == int(chunked[1])
+    with pytest.raises(ValueError, match="must divide"):
+        greedy_generate(model, {"params": params}, features,
+                        max_length=12, early_stop_chunk=5)
 
     # Exercise the genuine early EXIT: batch 1, and declare whatever token
     # the model actually emits first to be EOS — `done` then triggers at
@@ -174,8 +182,8 @@ def test_generate_chunked_early_stop_matches_plain(tiny_setup):
     eos_config = dataclasses.replace(config, eos_token_id=first_tok)
     eos_model = type(model)(eos_config)
     p1 = greedy_generate(eos_model, {"params": params}, features[:1],
-                         max_length=13)
+                         max_length=12)
     c1 = greedy_generate(eos_model, {"params": params}, features[:1],
-                         max_length=13, early_stop_chunk=4)
+                         max_length=12, early_stop_chunk=4)
     np.testing.assert_array_equal(np.asarray(p1[0]), np.asarray(c1[0]))
     assert int(p1[1]) == int(c1[1]) == 2  # start + the EOS step

@@ -196,6 +196,7 @@ class Wav2Vec2Encoder(nn.Module):
                 x = Wav2Vec2EncoderLayer(cfg, name=f"layers_{i}")(
                     x, attention_mask, deterministic=deterministic
                 )
+                x = seq_constrain(x)  # re-pin 'seq' after every layer
                 layer_outputs.append(x)
             x = self._weighted_layer_sum(jnp.stack(layer_outputs, axis=0))
         else:
@@ -213,7 +214,10 @@ class Wav2Vec2Encoder(nn.Module):
         cfg = self.config
 
         def body(layer: Wav2Vec2EncoderLayer, carry):
+            from tethys_tpu.ops.sharding import seq_constrain
+
             out = layer(carry, attention_mask, deterministic=deterministic)
+            out = seq_constrain(out)  # re-pin 'seq' each scan step
             return out, (out if cfg.use_weighted_layer_sum else None)
 
         scan = nn.scan(

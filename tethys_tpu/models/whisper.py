@@ -520,14 +520,20 @@ def greedy_generate(
     del temperature, top_k  # argmax-invariant; kept for API parity
     batch = input_features.shape[0]
 
-    # Buffer length: the chunked early-stop path rounds up to a whole
-    # number of chunks; overrun slots are sliced off before returning.
     chunk = early_stop_chunk
     if chunk is not None:
-        n_chunks = -(-max_length // chunk)
-        buf_len = n_chunks * chunk
-    else:
-        buf_len = max_length
+        # A non-dividing chunk would overrun max_length in the no-EOS case:
+        # whole chunks always run to completion, so the final one would
+        # execute up to chunk-1 extra decode steps past max_length —
+        # indexing the positional table beyond max_target_positions when
+        # max_length == max_target_positions, and doing MORE work than the
+        # plain scan the option exists to beat.  Require an exact fit.
+        if max_length % chunk != 0:
+            raise ValueError(
+                f"early_stop_chunk={chunk} must divide max_length="
+                f"{max_length}")
+        n_chunks = max_length // chunk
+    buf_len = max_length
 
     encoder_hidden = model.apply(variables, input_features, method=model.encode)
     cross_kvs = model.apply(variables, encoder_hidden,

@@ -71,10 +71,13 @@ def make_pp_mesh(num_devices: Optional[int] = None,
 
 
 def pack_params(params: Any, num_layers: int) -> Any:
-    """{"other": params minus encoder layers, "stack": [L, ...] layers}."""
-    import copy
+    """{"other": params minus encoder layers, "stack": [L, ...] layers}.
 
-    other = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, params))
+    tree_map(identity) rebuilds every container fresh (so the pops below
+    never mutate the caller's tree) while SHARING the leaf buffers — a
+    deepcopy here would device-copy every weight, transiently doubling
+    param memory at exactly the medium/large scales PP exists for."""
+    other = jax.tree_util.tree_map(lambda x: x, params)
     enc = other["model"]["encoder"]
     layers = [enc.pop(f"layers_{i}") for i in range(num_layers)]
     stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
@@ -83,15 +86,25 @@ def pack_params(params: Any, num_layers: int) -> Any:
 
 def unpack_params(packed: Any, num_layers: int) -> Any:
     """Inverse of pack_params (for final-weights saves / interop)."""
-    import copy
-
-    params = copy.deepcopy(jax.tree_util.tree_map(lambda x: x,
-                                                  packed["other"]))
+    params = jax.tree_util.tree_map(lambda x: x, packed["other"])
     enc = params["model"]["encoder"]
     for i in range(num_layers):
         enc[f"layers_{i}"] = jax.tree_util.tree_map(
             lambda x: x[i], packed["stack"])
     return params
+
+
+def gather_unpacked_params(packed: Any, num_layers: int, mesh: Mesh) -> Any:
+    """Replicate the (stage-sharded, possibly cross-process) packed params
+    and return the canonical layers_{i} tree on host.
+
+    A bare `jax.device_get` raises on multi-process meshes — other stages'
+    shards are non-addressable from this process.  The jitted identity
+    with replicated out_shardings is the supported cross-process
+    all-gather; on a single-process mesh it degenerates to a cheap copy."""
+    reps = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), packed)
+    replicated = jax.jit(lambda t: t, out_shardings=reps)(packed)
+    return unpack_params(jax.device_get(replicated), num_layers)
 
 
 def _state_specs(state: Any):

@@ -308,10 +308,12 @@ def train_whisper(
     if pipeline_parallel > 1:
         # In-loop checkpoints stay in the packed (stage-sharded) layout so
         # --resume round-trips; the returned/final-saved params go back to
-        # the canonical layers_{i} tree for interop.
+        # the canonical layers_{i} tree for interop.  gather_unpacked_params
+        # all-gathers the stage shards first: on a multi-process mesh a bare
+        # device_get would raise on the non-addressable stages.
         result = result._replace(state=dp.TrainState(
-            pp_lib.unpack_params(jax.device_get(result.state.params),
-                                 config.encoder_layers),
+            pp_lib.gather_unpacked_params(result.state.params,
+                                          config.encoder_layers, mesh),
             result.state.opt_state))
     return result, model, config
 
