@@ -36,7 +36,8 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--early_stop_chunk", type=int, default=None,
                    help="decode in C-step chunks inside a lax.while_loop "
-                        "(stops within C-1 steps of a global EOS)")
+                        "(stops within C-1 steps of a global EOS); must "
+                        "divide --length")
     args = p.parse_args()
 
     from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
