@@ -1,0 +1,62 @@
+"""Four-process PIPELINE-PARALLEL JOB worker: the full train_whisper entry
+point (not just the pp API) across process boundaries.
+
+Covers the whole multi-host --pp job path end to end: TF_CONFIG ->
+initialize_distributed() -> make_pp_mesh over 4 single-device processes
+(data=2 x stage=2) -> per-process local batch feeding via dp.shard_batch ->
+two GPipe train steps -> the finalization gather (pp.gather_unpacked_params
+— the round-3 self-review fix: a bare device_get raises here because other
+stages' shards are non-addressable).
+
+Each process prints `MP_PPJOB_OK process=<i> losses=<l0>,<l1>`; the parent
+asserts all four report identical, finite losses.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TINY = dict(
+    d_model=32, encoder_layers=2, encoder_attention_heads=2,
+    decoder_layers=1, decoder_attention_heads=2, d_ff=64,
+    n_mels=8, n_ctx=32, vocab_size=128, max_target_positions=128,
+    decoder_start_token_id=101,
+)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from tethys_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.initialize_distributed(timeout_s=60)
+    import numpy as np
+
+    from tethys_tpu.train import jobs
+
+    assert jax.process_count() == 4, jax.process_count()
+    result, _, _ = jobs.train_whisper(
+        model_type="small",
+        batch_size_per_replica=2,
+        num_batches=2,
+        checkpointing=False,
+        data_seq_len=64,
+        config_overrides=TINY,
+        pipeline_parallel=2,
+        num_microbatches=2,
+    )
+    assert result.total_steps == 2
+    assert all(np.isfinite(result.losses)), result.losses
+    # finalization gather returned the canonical tree on every process
+    assert "layers_0" in result.state.params["model"]["encoder"]
+    losses = ",".join(f"{l:.6f}" for l in result.losses)
+    print(f"MP_PPJOB_OK process={jax.process_index()} losses={losses}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

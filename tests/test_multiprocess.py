@@ -24,6 +24,7 @@ WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
 TP_WORKER = os.path.join(REPO, "tests", "_mp_tp_worker.py")
 PP_WORKER = os.path.join(REPO, "tests", "_mp_pp_worker.py")
 SP_WORKER = os.path.join(REPO, "tests", "_mp_sp_worker.py")
+PP_JOB_WORKER = os.path.join(REPO, "tests", "_mp_pp_job_worker.py")
 
 
 def _free_port() -> int:
@@ -32,7 +33,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_cluster(n_processes: int, worker: str = WORKER) -> list:
+def _run_cluster(n_processes: int, worker: str = WORKER,
+                 timeout: int = 240) -> list:
     chief_addr = f"127.0.0.1:{_free_port()}"
     worker_addrs = [f"127.0.0.1:{_free_port()}"
                     for _ in range(n_processes - 1)]
@@ -64,7 +66,7 @@ def _run_cluster(n_processes: int, worker: str = WORKER) -> list:
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -185,3 +187,23 @@ def test_4_process_seq_parallel_step_over_localhost():
     _, golden = step(state, dp.shard_batch((feats, labels), mesh),
                      jax.random.PRNGKey(0))
     np.testing.assert_allclose(losses[0], float(golden), rtol=1e-5)
+
+
+def test_4_process_pp_job_entry_point_over_localhost():
+    """The FULL train_whisper --pp job path across process boundaries
+    (not just the pp API): distributed init, make_pp_mesh over 4
+    single-device processes, per-process local batch feeding, two GPipe
+    steps, and the finalization gather that un-packs the stage-sharded
+    params on every process (a bare device_get raises here — the round-3
+    self-review fix).  All four processes must log identical, finite
+    per-step losses."""
+    # the jobs entry compiles whisper+Adam+dropout in 4 contending
+    # processes - slower than the raw-API workers
+    outs = _run_cluster(4, worker=PP_JOB_WORKER, timeout=480)
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("MP_PPJOB_OK")]
+        assert line, out
+        losses.append(line[0].split("losses=")[1])
+    assert all(l == losses[0] for l in losses), losses

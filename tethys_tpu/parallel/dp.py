@@ -189,9 +189,16 @@ def make_train_step(
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place params/opt_state replicated on every mesh device."""
+    """Place params/opt_state replicated on every mesh device.
+
+    Uses local shard materialization (mesh.place_tree), not device_put:
+    on multi-process meshes device_put first allgathers the whole tree to
+    assert cross-process equality — redundant (same seed on every process)
+    and skew-fragile on gloo."""
+    from tethys_tpu.parallel.mesh import place_tree
+
     sharding = jax.sharding.NamedSharding(mesh, P())
-    return jax.device_put(state, sharding)
+    return place_tree(state, sharding)
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):

@@ -141,3 +141,31 @@ def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
 
 def num_replicas(mesh: Mesh) -> int:
     return mesh.shape["data"]
+
+
+def place_tree(tree, shardings):
+    """Place host-identical pytree values into (possibly multi-process)
+    shardings WITHOUT communication.
+
+    `jax.device_put(host_value, cross_process_sharding)` first verifies the
+    value is identical on every process with a full `assert_equal`
+    allgather — an O(model) collective that is redundant here (every
+    process computes the same init from the same PRNG seed), slow at model
+    scale on real pods, and skew-sensitive on gloo CPU clusters (processes
+    reaching the barrier >30 s apart fail the rendezvous; observed in the
+    4-process job tests).  `make_array_from_callback` instead materializes
+    each process's addressable shards locally: zero communication, same
+    result.
+
+    `shardings` is either a matching pytree of NamedShardings or a single
+    sharding applied to every leaf.
+    """
+    single = not isinstance(shardings, (dict, list, tuple))
+
+    def place(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    if single:
+        return jax.tree_util.tree_map(lambda x: place(x, shardings), tree)
+    return jax.tree_util.tree_map(place, tree, shardings)

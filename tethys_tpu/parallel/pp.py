@@ -127,7 +127,12 @@ def init_pp_state(params: Any, optimizer: optax.GradientTransformation,
             P("stage") if "stack" in [str(getattr(k, "key", k))
                                       for k in path] else P()),
         packed)
-    placed = jax.device_put(packed, shardings)
+    # Local shard materialization, not device_put: device_put would verify
+    # host-value equality across processes with a full-tree allgather
+    # (redundant — same seed everywhere — and skew-fragile on gloo).
+    from tethys_tpu.parallel.mesh import place_tree
+
+    placed = place_tree(packed, shardings)
     return TrainState(placed, optimizer.init(placed))
 
 

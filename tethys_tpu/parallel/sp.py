@@ -107,7 +107,12 @@ def _lower_with_ctx(jitted, seq_spec, *args, **kwargs):
 def init_sp_state(params: Any, optimizer: optax.GradientTransformation,
                   mesh: Mesh) -> TrainState:
     """Replicated params/opt state on the ('data', 'seq') mesh."""
+    from tethys_tpu.parallel.mesh import place_tree
+
+    # optimizer.init runs on the host params so every leaf (moments AND
+    # scalar counts) is a process-local value place_tree can materialize
+    # shard-locally — no cross-process equality allgather (see
+    # mesh.place_tree).
     sharding = NamedSharding(mesh, P())
-    replicated = jax.device_put(params, sharding)
-    return TrainState(replicated, jax.device_put(
-        optimizer.init(replicated), sharding))
+    state = TrainState(params, optimizer.init(params))
+    return place_tree(state, sharding)

@@ -119,7 +119,12 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    return jax.device_put(params, param_shardings(params, mesh))
+    """Megatron-shard host params over the mesh via local shard
+    materialization (mesh.place_tree) — no cross-process equality
+    allgather; the values are identical by construction (same seed)."""
+    from tethys_tpu.parallel.mesh import place_tree
+
+    return place_tree(params, param_shardings(params, mesh))
 
 
 def constrain_params(params: Any) -> Any:

@@ -48,11 +48,17 @@ def target_platform() -> str:
 
 
 def host_cpu_context():
-    """Context manager running enclosed computations on host CPU."""
+    """Context manager running enclosed computations on THIS host's CPU.
+
+    Must be a local device: `jax.devices("cpu")[0]` is the GLOBAL device
+    list, whose first entry belongs to process 0 — on a multi-process
+    cluster every other process would set a non-addressable default device
+    and crash in the first traced init (found by the 4-process jobs-entry
+    test; would equally bite real multi-host pods)."""
     try:
         import jax
 
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         return jax.default_device(cpu)
     except Exception:  # noqa: BLE001
         return contextlib.nullcontext()
