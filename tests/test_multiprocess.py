@@ -25,6 +25,7 @@ TP_WORKER = os.path.join(REPO, "tests", "_mp_tp_worker.py")
 PP_WORKER = os.path.join(REPO, "tests", "_mp_pp_worker.py")
 SP_WORKER = os.path.join(REPO, "tests", "_mp_sp_worker.py")
 PP_JOB_WORKER = os.path.join(REPO, "tests", "_mp_pp_job_worker.py")
+DP_JOB_WORKER = os.path.join(REPO, "tests", "_mp_dp_job_worker.py")
 
 
 def _free_port() -> int:
@@ -204,6 +205,24 @@ def test_4_process_pp_job_entry_point_over_localhost():
     for out in outs:
         line = [ln for ln in out.splitlines()
                 if ln.startswith("MP_PPJOB_OK")]
+        assert line, out
+        losses.append(line[0].split("losses=")[1])
+    assert all(l == losses[0] for l in losses), losses
+
+
+def test_2_process_dp_job_entry_point_over_localhost():
+    """The FULL train_wav2vec2 jobs entry point (the reference's primary
+    dist workload) across 2 real processes: distributed init, hardened DP
+    steps with the SUM-of-replica-losses contract over gloo, and the
+    host-CPU init context (which must pick a LOCAL cpu device — the
+    global-list lookup this pins against segfaulted every non-chief
+    process).  Both processes must log identical, finite per-step
+    losses."""
+    outs = _run_cluster(2, worker=DP_JOB_WORKER, timeout=480)
+    losses = []
+    for out in outs:
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("MP_DPJOB_OK")]
         assert line, out
         losses.append(line[0].split("losses=")[1])
     assert all(l == losses[0] for l in losses), losses
