@@ -9,6 +9,15 @@ speech_jobs/whisper_dist.py:1037-1047), coordination service on localhost,
 one shard_map DP train step with a cross-process psum.  N=2 mirrors the
 reference's CHIEF+WORKER sample manifests; N=4 proves the path generalizes
 beyond a pair (one chief + three workers).
+
+Coverage map (each subprocess worker file documents its topology):
+trainer APIs — DP (2 and 4 procs), TP, SP, PP each have a cross-process
+step proof; jobs-glue entry points — train_wav2vec2 (DP, the reference's
+primary workload) and train_whisper --pp (the most placement-complex
+family).  The --tp/--sp jobs glue is deliberately NOT duplicated here:
+train_whisper's TP/SP branches differ from the tested ones only in which
+(already cross-process-proven) init/step constructors they call, and each
+jobs-entry cluster test costs minutes of suite time.
 """
 
 import json
