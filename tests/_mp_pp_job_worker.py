@@ -12,6 +12,7 @@ Each process prints `MP_PPJOB_OK process=<i> losses=<l0>,<l1>`; the parent
 asserts all four report identical, finite losses.
 """
 
+import json
 import os
 import sys
 
@@ -39,11 +40,20 @@ def main() -> None:
     from tethys_tpu.train import jobs
 
     assert jax.process_count() == 4, jax.process_count()
+    # checkpointing ON: the in-loop epoch save writes the stage-sharded
+    # packed state through Orbax, which serializes each process's own
+    # shards — a bare jax.device_get in CheckpointManager.save would raise
+    # on the non-addressable stages (the multi-host save fix this pins).
+    # The directory must be IDENTICAL across processes (Orbax coordinates
+    # the write); derive it from the cluster's unique chief address.
+    chief = json.loads(os.environ["TF_CONFIG"])["cluster"]["chief"][0]
+    ckpt_dir = f"/tmp/tethys_mp_pp_ckpt_{chief.replace(':', '_').replace('.', '_')}"
     result, _, _ = jobs.train_whisper(
         model_type="small",
         batch_size_per_replica=2,
         num_batches=2,
-        checkpointing=False,
+        checkpointing=True,
+        checkpoint_dir=ckpt_dir,
         data_seq_len=64,
         config_overrides=TINY,
         pipeline_parallel=2,

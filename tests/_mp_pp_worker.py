@@ -76,16 +76,14 @@ def main() -> None:
     local = {s.data.shape[0] for s in stack_leaf.addressable_shards}
     assert local == {1}, local
 
-    deterministic = os.environ.get("MP_PP_DETERMINISTIC", "1") == "1"
     step = pp.make_pp_train_step(model, opt, mesh, state,
-                                 num_microbatches=2,
-                                 deterministic=deterministic)
+                                 num_microbatches=2, deterministic=True)
     batch = dp.shard_batch((feats, labels), mesh)
-    new_state, loss = step(state, batch, jax.random.PRNGKey(0))
-    # MP_PP_STEPS > 1 re-executes the compiled ppermute program (gloo
+    # TWO steps: the second re-executes the compiled ppermute program (gloo
     # collective_permute reuse across calls — the multi-step job shape).
-    for i in range(1, int(os.environ.get("MP_PP_STEPS", "1"))):
-        new_state, loss = step(new_state, batch, jax.random.PRNGKey(i))
+    # lr=0 keeps params fixed, so both steps produce the DP golden loss.
+    new_state, loss = step(state, batch, jax.random.PRNGKey(0))
+    new_state, loss = step(new_state, batch, jax.random.PRNGKey(1))
     loss = float(jax.device_get(loss))
 
     # The train_whisper(--pp) finalization path: other stages' shards are

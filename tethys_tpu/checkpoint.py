@@ -31,8 +31,14 @@ class CheckpointManager:
         return os.path.abspath(os.path.join(self.directory, tag))
 
     def save(self, tag: str, state: Any) -> str:
+        # Pass device arrays straight to Orbax: it writes sharded global
+        # arrays natively (each process serializes its own shards).  A
+        # jax.device_get here would raise on multi-process meshes where
+        # other stages'/model-shards' devices are non-addressable — the
+        # same failure class gather_unpacked_params fixes for --pp
+        # finalization, pinned by the 4-process jobs-entry test.
         path = self._path(tag)
-        self._ckptr.save(path, jax.device_get(state), force=True)
+        self._ckptr.save(path, state, force=True)
         self._ckptr.wait_until_finished()
         return path
 
@@ -94,6 +100,8 @@ def save_final_weights(params: Any, name: str,
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(cache_dir, name))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(params), force=True)
+    # No device_get: Orbax serializes sharded global arrays per-process
+    # (see CheckpointManager.save) and host values pass through unchanged.
+    ckptr.save(path, params, force=True)
     ckptr.wait_until_finished()
     return path

@@ -28,6 +28,8 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from tethys_tpu.parallel.mesh import place_tree
+
 
 class TrainState(NamedTuple):
     params: Any
@@ -191,12 +193,8 @@ def make_train_step(
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place params/opt_state replicated on every mesh device.
 
-    Uses local shard materialization (mesh.place_tree), not device_put:
-    on multi-process meshes device_put first allgathers the whole tree to
-    assert cross-process equality — redundant (same seed on every process)
-    and skew-fragile on gloo."""
-    from tethys_tpu.parallel.mesh import place_tree
-
+    Uses local shard materialization (mesh.place_tree, which see for
+    the multi-process rationale)."""
     sharding = jax.sharding.NamedSharding(mesh, P())
     return place_tree(state, sharding)
 

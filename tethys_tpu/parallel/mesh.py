@@ -155,17 +155,23 @@ def place_tree(tree, shardings):
     reaching the barrier >30 s apart fail the rendezvous; observed in the
     4-process job tests).  `make_array_from_callback` instead materializes
     each process's addressable shards locally: zero communication, same
-    result.
+    result.  TRADE: the equality check is gone — callers own the
+    by-construction guarantee (same seed, same code on every process);
+    genuinely divergent hosts would previously fail loudly at placement
+    and now would not.
 
-    `shardings` is either a matching pytree of NamedShardings or a single
-    sharding applied to every leaf.
+    `shardings` is either a matching pytree of shardings or a single
+    sharding applied to every leaf.  Single-process meshes take the plain
+    async `device_put` path (no equality allgather exists there, and it
+    avoids a blocking host round-trip of every leaf at job start).
     """
-    single = not isinstance(shardings, (dict, list, tuple))
+    if isinstance(shardings, jax.sharding.Sharding):
+        shardings = jax.tree_util.tree_map(lambda _: shardings, tree)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
 
     def place(x, s):
         x = np.asarray(x)
         return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
 
-    if single:
-        return jax.tree_util.tree_map(lambda x: place(x, shardings), tree)
     return jax.tree_util.tree_map(place, tree, shardings)

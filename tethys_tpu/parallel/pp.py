@@ -54,6 +54,7 @@ from tethys_tpu.ops.activations import gelu
 from tethys_tpu.ops.attention import flash_active
 from tethys_tpu.ops.posenc import sinusoidal_table
 from tethys_tpu.parallel.dp import TrainState
+from tethys_tpu.parallel.mesh import place_tree
 
 
 def make_pp_mesh(num_devices: Optional[int] = None,
@@ -127,11 +128,7 @@ def init_pp_state(params: Any, optimizer: optax.GradientTransformation,
             P("stage") if "stack" in [str(getattr(k, "key", k))
                                       for k in path] else P()),
         packed)
-    # Local shard materialization, not device_put: device_put would verify
-    # host-value equality across processes with a full-tree allgather
-    # (redundant — same seed everywhere — and skew-fragile on gloo).
-    from tethys_tpu.parallel.mesh import place_tree
-
+    # Local shard materialization (see mesh.place_tree).
     placed = place_tree(packed, shardings)
     return TrainState(placed, optimizer.init(placed))
 

@@ -44,6 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tethys_tpu.ops.sharding import seq_axis_rules, seq_constrain  # noqa: F401  (re-export)
 from tethys_tpu.parallel.dp import TrainState
+from tethys_tpu.parallel.mesh import place_tree
 
 
 def make_seq_mesh(num_devices: Optional[int] = None,
@@ -107,12 +108,9 @@ def _lower_with_ctx(jitted, seq_spec, *args, **kwargs):
 def init_sp_state(params: Any, optimizer: optax.GradientTransformation,
                   mesh: Mesh) -> TrainState:
     """Replicated params/opt state on the ('data', 'seq') mesh."""
-    from tethys_tpu.parallel.mesh import place_tree
-
     # optimizer.init runs on the host params so every leaf (moments AND
     # scalar counts) is a process-local value place_tree can materialize
-    # shard-locally — no cross-process equality allgather (see
-    # mesh.place_tree).
+    # shard-locally (see mesh.place_tree).
     sharding = NamedSharding(mesh, P())
     state = TrainState(params, optimizer.init(params))
     return place_tree(state, sharding)

@@ -36,6 +36,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tethys_tpu.parallel.dp import TrainState
+from tethys_tpu.parallel.mesh import place_tree
 
 
 def make_2d_mesh(num_devices: Optional[int] = None,
@@ -120,10 +121,7 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """Megatron-shard host params over the mesh via local shard
-    materialization (mesh.place_tree) — no cross-process equality
-    allgather; the values are identical by construction (same seed)."""
-    from tethys_tpu.parallel.mesh import place_tree
-
+    materialization (mesh.place_tree, which see)."""
     return place_tree(params, param_shardings(params, mesh))
 
 
