@@ -48,7 +48,7 @@ def main() -> None:
     # the write); derive it from the cluster's unique chief address.
     chief = json.loads(os.environ["TF_CONFIG"])["cluster"]["chief"][0]
     ckpt_dir = f"/tmp/tethys_mp_pp_ckpt_{chief.replace(':', '_').replace('.', '_')}"
-    result, _, _ = jobs.train_whisper(
+    result, model, config = jobs.train_whisper(
         model_type="small",
         batch_size_per_replica=2,
         num_batches=2,
@@ -60,6 +60,32 @@ def main() -> None:
         num_microbatches=2,
     )
     assert result.total_steps == 2
+
+    # Multi-host --resume round-trip: restore_like the epoch checkpoint
+    # (written AFTER the last step, so it equals the final state) into a
+    # FRESH stage-sharded live state on every process, and check the
+    # restored params match the gathered final tree.
+    import optax
+
+    from tethys_tpu.checkpoint import CheckpointManager
+    from tethys_tpu.parallel import dp, pp
+
+    mgr = CheckpointManager(ckpt_dir)
+    tag = mgr.latest_tag(prefix="whisper_small")
+    assert tag, os.listdir(ckpt_dir)
+    mesh = pp.make_pp_mesh(pipeline_parallel=2)
+    fresh = pp.init_pp_state(
+        jobs._init_whisper(model, config, jax.random.PRNGKey(7)),
+        dp.whisper_optimizer(), mesh, config)
+    restored = mgr.restore_like(tag, fresh)
+    stack_leaf = jax.tree_util.tree_leaves(restored.params["stack"])[0]
+    assert {s.data.shape[0] for s in stack_leaf.addressable_shards} == {1}
+    got = pp.gather_unpacked_params(restored.params, config.encoder_layers,
+                                    mesh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6),
+        got, result.state.params)
     assert all(np.isfinite(result.losses)), result.losses
     # finalization gather returned the canonical tree on every process
     assert "layers_0" in result.state.params["model"]["encoder"]
