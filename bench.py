@@ -56,7 +56,7 @@ def _build_whisper(args, jax, jnp, dp, host_cpu_context):
 
     audio_seconds = 30.0
     return (params, optimizer, loss_fn, (features, labels), probe,
-            audio_seconds, False, "whisper_base")
+            audio_seconds, False, f"whisper_{args.model}")
 
 
 def _build_wav2vec2(args, jax, jnp, dp, host_cpu_context):
@@ -123,6 +123,14 @@ def build_family_step(args, family: str):
     (params, optimizer, loss_fn, host_batch, probe, audio_seconds, hardened,
      model_tag) = builder(args, jax, jnp, dp, host_cpu_context)
 
+    if getattr(args, "master_dtype", "float32") == "bfloat16":
+        # Capacity mode for medium/large single-chip fits: bf16 master params
+        # => optax Adam keeps mu/nu in the param dtype, quartering optimizer
+        # HBM (12.4 GB -> 4.6 GB at whisper-medium's 769 M params).  Same
+        # trade the TP path offers via tp.replicate_state(param_dtype=...).
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params)
+
     if getattr(args, "flat_opt", False):
         # Flat-buffer master params (parallel/flat.py).  SLOWER single-chip
         # (see BASELINE.md negative results: flat<->pytree boundary relayout
@@ -141,7 +149,8 @@ def build_family_step(args, family: str):
     else:
         state = dp.replicate_state(
             dp.TrainState(params, optimizer.init(params)), mesh)
-        step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=hardened)
+        step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=hardened,
+                                  remat=getattr(args, "remat", False))
     batch = dp.shard_batch(host_batch, mesh)
     return state, step, batch, probe, audio_seconds, model_tag, args
 
@@ -208,6 +217,13 @@ def main() -> None:
     parser.add_argument("--scan_layers", action="store_true",
                         help="wav2vec2: run the encoder as nn.scan over "
                              "[L, ...]-stacked params (A/B vs unrolled)")
+    parser.add_argument("--master_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="master param/Adam-state dtype; bfloat16 is the "
+                             "single-chip capacity mode for medium/large")
+    parser.add_argument("--remat", action="store_true",
+                        help="wrap the loss in jax.checkpoint (needed to fit "
+                             "whisper-medium/large activations on one chip)")
     parser.add_argument("--flat_opt", action="store_true",
                         help="use the flat-buffer optimizer path "
                              "(parallel/flat.py) instead of the per-tensor "

@@ -28,11 +28,14 @@ from jax.experimental import pallas as pl
 
 _INTERPRET = False  # tests flip this to exercise kernels off-TPU
 
-# Whole-T blocks keep the BlockSpec legal for ragged sequence lengths (the
-# last two block dims must divide (8, 128) *or* equal the array dims); cap
-# VMEM by splitting the batch grid only.  Whisper-base encoder tile:
-# [1500, 512] f32 = 3 MB in + 3 MB out — comfortably within VMEM.
-_MAX_TILE_BYTES = 8 * 1024 * 1024
+# VMEM budget for one (in tile + out tile) pair, POST-padding, pre-double-
+# buffering.  Mosaic double-buffers every grid-streamed block and XLA checks
+# the total against its ~16 MB scoped-vmem limit, so the real footprint is
+# 2x this number; 6 MB keeps medium/large under the limit with margin.
+# Whisper-base fits whole-T (no behavior change); whisper-medium's 1024-d
+# whole-T tile measured 18 MB actual (the per-head [T, 64] out slabs pad to
+# 128 lanes, doubling the out tile) and is split along T instead.
+_MAX_TILE_BYTES = 6 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
@@ -43,8 +46,34 @@ def _on_tpu() -> bool:
     return target_platform() == "tpu"
 
 
-def _fits(t: int, d_model: int, dtype) -> bool:
-    return 2 * t * d_model * jnp.dtype(dtype).itemsize <= _MAX_TILE_BYTES
+def _sublane(dtype) -> int:
+    # TPU second-minor tile granularity by element width.
+    return {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+
+
+def _tile_bytes(t_blk: int, num_heads: int, head_dim: int, dtype) -> int:
+    """Padded VMEM bytes of one in+out block pair at T-block size t_blk."""
+    itemsize = jnp.dtype(dtype).itemsize
+    lanes = 128
+    flat = t_blk * (-(-num_heads * head_dim // lanes) * lanes)   # [T, H*d]
+    split = num_heads * t_blk * (-(-head_dim // lanes) * lanes)  # [H, T, d]
+    return (flat + split) * itemsize
+
+
+def _choose_t_block(t: int, num_heads: int, head_dim: int, dtype):
+    """Largest T-block (a divisor of t, sublane-aligned) whose padded in+out
+    tiles fit _MAX_TILE_BYTES; None when no legal block fits (callers fall
+    back to the XLA transpose).  Whole-T is preferred — it is always legal
+    (block dims equal to the array dims need no alignment)."""
+    if _tile_bytes(t, num_heads, head_dim, dtype) <= _MAX_TILE_BYTES:
+        return t
+    step = _sublane(dtype)
+    for t_blk in range(t // 2, step - 1, -1):
+        if t % t_blk or t_blk % step:
+            continue
+        if _tile_bytes(t_blk, num_heads, head_dim, dtype) <= _MAX_TILE_BYTES:
+            return t_blk
+    return None
 
 
 def _split_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int):
@@ -61,13 +90,14 @@ def _merge_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int):
 def _split_call(x: jax.Array, num_heads: int) -> jax.Array:
     b, t, d_model = x.shape
     head_dim = d_model // num_heads
+    t_blk = _choose_t_block(t, num_heads, head_dim, x.dtype)
     return pl.pallas_call(
         functools.partial(_split_kernel, num_heads=num_heads,
                           head_dim=head_dim),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, t, d_model), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, num_heads, t, head_dim),
-                               lambda i: (i, 0, 0, 0)),
+        grid=(b, t // t_blk),
+        in_specs=[pl.BlockSpec((1, t_blk, d_model), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, num_heads, t_blk, head_dim),
+                               lambda i, j: (i, 0, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, num_heads, t, head_dim), x.dtype),
         interpret=_INTERPRET,
     )(x)
@@ -76,13 +106,14 @@ def _split_call(x: jax.Array, num_heads: int) -> jax.Array:
 def _merge_call(x: jax.Array) -> jax.Array:
     b, num_heads, t, head_dim = x.shape
     d_model = num_heads * head_dim
+    t_blk = _choose_t_block(t, num_heads, head_dim, x.dtype)
     return pl.pallas_call(
         functools.partial(_merge_kernel, num_heads=num_heads,
                           head_dim=head_dim),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, num_heads, t, head_dim),
-                               lambda i: (i, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, t, d_model), lambda i: (i, 0, 0)),
+        grid=(b, t // t_blk),
+        in_specs=[pl.BlockSpec((1, num_heads, t_blk, head_dim),
+                               lambda i, j: (i, 0, j, 0))],
+        out_specs=pl.BlockSpec((1, t_blk, d_model), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, d_model), x.dtype),
         interpret=_INTERPRET,
     )(x)
@@ -137,7 +168,7 @@ def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     head_dim = d_model // num_heads
     if (SPLIT_IMPL == "pallas" and _on_tpu()
             and d_model == num_heads * head_dim
-            and _fits(t, d_model, x.dtype)):
+            and _choose_t_block(t, num_heads, head_dim, x.dtype) is not None):
         return _split(x, num_heads)
     return x.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
 
@@ -146,6 +177,6 @@ def merge_heads(x: jax.Array) -> jax.Array:
     """[B, H, T, d] -> [B, T, H*d]; pallas on TPU, jnp elsewhere."""
     b, num_heads, t, head_dim = x.shape
     if (MERGE_IMPL == "pallas" and _on_tpu()
-            and _fits(t, num_heads * head_dim, x.dtype)):
+            and _choose_t_block(t, num_heads, head_dim, x.dtype) is not None):
         return _merge(x)
     return x.transpose(0, 2, 1, 3).reshape(b, t, num_heads * head_dim)
