@@ -27,7 +27,9 @@ import numpy as np
 def _build_whisper(args, jax, jnp, dp, host_cpu_context):
     from tethys_tpu.models.whisper import create_whisper_model
 
-    model, config = create_whisper_model(args.model, compute_dtype=args.dtype)
+    model, config = create_whisper_model(
+        args.model, compute_dtype=args.dtype,
+        remat_layers=getattr(args, "remat_layers", False))
     rng = jax.random.PRNGKey(0)
     np_rng = np.random.default_rng(0)
     features = jnp.asarray(
@@ -224,6 +226,11 @@ def main() -> None:
     parser.add_argument("--remat", action="store_true",
                         help="wrap the loss in jax.checkpoint (needed to fit "
                              "whisper-medium/large activations on one chip)")
+    parser.add_argument("--remat_layers", action="store_true",
+                        help="whisper: per-layer nn.remat instead of the "
+                             "whole-loss checkpoint (holds only layer-"
+                             "boundary activations; the real capacity mode "
+                             "for medium/large)")
     parser.add_argument("--flat_opt", action="store_true",
                         help="use the flat-buffer optimizer path "
                              "(parallel/flat.py) instead of the per-tensor "

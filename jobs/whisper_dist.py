@@ -39,6 +39,10 @@ def main() -> None:
                         help="microbatches per step under --pp")
     parser.add_argument("--remat", action="store_true",
                         help="checkpoint the forward pass (medium/large HBM)")
+    parser.add_argument("--remat_layers", action="store_true",
+                        help="per-layer nn.remat (holds only layer-boundary "
+                             "activations; the capacity mode for "
+                             "medium/large — stronger than --remat)")
     args = parser.parse_args()
     if sum(p > 1 for p in (args.tp, args.sp, args.pp)) > 1:
         parser.error("--tp, --sp and --pp are mutually exclusive")
@@ -91,6 +95,8 @@ def main() -> None:
             pipeline_parallel=args.pp,
             num_microbatches=args.microbatches,
             remat=args.remat,
+            config_overrides=(
+                {"remat_layers": True} if args.remat_layers else None),
         )
     jct = time.time() - start
     jobs.finalize_job(result, "whisper_small_model", jct)

@@ -187,3 +187,46 @@ def test_generate_chunked_early_stop_matches_plain(tiny_setup):
                          max_length=12, early_stop_chunk=4)
     np.testing.assert_array_equal(np.asarray(p1[0]), np.asarray(c1[0]))
     assert int(p1[1]) == int(c1[1]) == 2  # start + the EOS step
+
+
+def test_remat_layers_matches_plain(tiny_setup):
+    """config.remat_layers must be a pure memory/compute trade: identical
+    loss AND grads to the unrematted model on the same params (per-layer
+    nn.remat replays each layer's interior in the backward — numerics are
+    bitwise-identical recomputations of the same ops)."""
+    import dataclasses
+
+    model, config, params, features, labels = tiny_setup
+    remat_model = type(model)(dataclasses.replace(config, remat_layers=True))
+
+    def loss(m):
+        def f(p):
+            out = m.apply(
+                {"params": p}, features, labels=labels,
+                deterministic=False, rngs={"dropout": jax.random.PRNGKey(7)},
+            )
+            return out["loss"]
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(model))(params)
+    l1, g1 = jax.value_and_grad(loss(remat_model))(params)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_layers_generate_unchanged(tiny_setup):
+    """The cached decode path must be untouched by remat_layers (the
+    training-only gate: caches is not None skips the nn.remat wrap)."""
+    import dataclasses
+
+    model, config, params, features, labels = tiny_setup
+    remat_model = type(model)(dataclasses.replace(config, remat_layers=True))
+    plain = greedy_generate(model, {"params": params}, features, max_length=8)
+    remat = greedy_generate(remat_model, {"params": params}, features,
+                            max_length=8)
+    np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(remat[0]))

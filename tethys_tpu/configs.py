@@ -72,6 +72,14 @@ class WhisperConfig:
     # TPU additions (not part of the reference surface).
     compute_dtype: str = "float32"
     use_flash_attention: bool = True  # Pallas flash attention for long self-attn
+    # Per-layer rematerialization: wrap each encoder/decoder layer in
+    # nn.remat so the backward holds only layer-boundary activations and
+    # recomputes each layer's interior on demand.  Strictly stronger than
+    # the whole-loss jax.checkpoint in dp.make_train_step(remat=True): a
+    # single loss-level region re-runs the forward once and then holds ALL
+    # intermediates live during the backward (peak ~= no-remat), which is
+    # what made whisper-large spill (BASELINE.md round-3: 326 s/step).
+    remat_layers: bool = False
 
     @property
     def dtype(self):

@@ -270,9 +270,15 @@ class WhisperEncoder(nn.Module):
         # boundaries so GSPMD keeps the time axis sharded through LN/FFN
         # and gathers K/V for attention.
         x = seq_constrain(x)
+        layer_cls = WhisperEncoderLayer
+        if cfg.remat_layers:
+            # Per-layer activation checkpointing (see configs.remat_layers).
+            # static argnums count the module as 0: (x=1, bias=2,
+            # deterministic=3, kv_len=4).
+            layer_cls = nn.remat(WhisperEncoderLayer, static_argnums=(3, 4))
         for i in range(cfg.encoder_layers):
-            x = WhisperEncoderLayer(cfg, name=f"layers_{i}")(
-                x, deterministic=deterministic, kv_len=kv_len
+            x = layer_cls(cfg, name=f"layers_{i}")(
+                x, None, deterministic, kv_len
             )
             x = seq_constrain(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
@@ -321,17 +327,26 @@ class WhisperDecoder(nn.Module):
         x = module_dropout(self, x, cfg.dropout, deterministic)
 
         new_caches = []
+        layer_cls = WhisperDecoderLayer
+        if cfg.remat_layers and caches is None:
+            # Training path only (the cached decode path re-traces per token
+            # and gains nothing from remat).  static argnums with the module
+            # as 0: deterministic=7, cross_kv_len=8, cross_kv_only=10.
+            layer_cls = nn.remat(WhisperDecoderLayer,
+                                 static_argnums=(7, 8, 10))
         for i in range(cfg.decoder_layers):
             layer_cache = caches[i] if caches is not None else None
-            x, new_cache = WhisperDecoderLayer(cfg, name=f"layers_{i}")(
+            x, new_cache = layer_cls(cfg, name=f"layers_{i}")(
                 x,
                 encoder_hidden_states,
-                self_attn_bias=self_bias,
-                cache=layer_cache,
-                cache_index=cache_index,
-                deterministic=deterministic,
-                cross_kv_len=cross_kv_len,
-                cross_kv=cross_kvs[i] if cross_kvs is not None else None,
+                self_bias,
+                None,  # cross_attn_bias
+                layer_cache,
+                cache_index,
+                deterministic,
+                cross_kv_len,
+                cross_kvs[i] if cross_kvs is not None else None,
+                False,  # cross_kv_only
             )
             new_caches.append(new_cache)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,

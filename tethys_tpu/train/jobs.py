@@ -269,7 +269,8 @@ def train_whisper(
             num_microbatches=num_microbatches, remat=remat,
             deterministic=False)
     else:
-        step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False)
+        step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False,
+                                     remat=remat)
     if collective_report:
         gbatch = batch_size_per_replica * dict(mesh.shape).get("data", 1)
         _emit_collective_report(
