@@ -40,6 +40,9 @@ def main() -> None:
                              "configs — post-conv T is ~100 at 2 s clips)")
     parser.add_argument("--remat", action="store_true",
                         help="checkpoint the forward pass (large-model HBM)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="accumulate N microbatches per optimizer step "
+                             "(extension; batch_size must divide by N)")
     args = parser.parse_args()
     if args.tp > 1 and args.sp > 1:
         parser.error("--tp and --sp are mutually exclusive")
@@ -87,6 +90,7 @@ def main() -> None:
             tensor_parallel=args.tp,
             seq_parallel=args.sp,
             remat=args.remat,
+            grad_accum=args.grad_accum,
         )
     jct = time.time() - start
     jobs.finalize_job(result, f"wav2vec2_{args.model_size}_model", jct)

@@ -43,6 +43,9 @@ def main() -> None:
                         help="per-layer nn.remat (holds only layer-boundary "
                              "activations; the capacity mode for "
                              "medium/large — stronger than --remat)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="accumulate N microbatches per optimizer step "
+                             "(extension; batch_size must divide by N)")
     args = parser.parse_args()
     if sum(p > 1 for p in (args.tp, args.sp, args.pp)) > 1:
         parser.error("--tp, --sp and --pp are mutually exclusive")
@@ -95,6 +98,7 @@ def main() -> None:
             pipeline_parallel=args.pp,
             num_microbatches=args.microbatches,
             remat=args.remat,
+            grad_accum=args.grad_accum,
             config_overrides=(
                 {"remat_layers": True} if args.remat_layers else None),
         )

@@ -138,3 +138,62 @@ def test_dp_equals_single_device_for_full_batch():
     np.testing.assert_allclose(
         np.asarray(out8.params["w"]), want, rtol=1e-5
     )
+
+
+def test_grad_accum_matches_unaccumulated():
+    """grad_accum=N must be a pure memory trade for per-sample-mean losses:
+    identical loss and updated params to the unaccumulated step (the
+    quadratic loss ignores rng, so the fold_in-per-microbatch stream
+    difference is invisible)."""
+    mesh = make_data_mesh(8)
+    x, y, params, w0 = _make_problem(n=32)
+    opt = optax.sgd(0.1)
+
+    results = []
+    for accum in (1, 2, 4):
+        state = dp.replicate_state(
+            dp.TrainState({"w": jnp.asarray(w0)}, opt.init(params)), mesh)
+        step = dp.make_train_step(_quadratic_loss_fn, opt, mesh,
+                                  hardened=False, grad_accum=accum)
+        batch = dp.shard_batch((x, y), mesh)
+        new_state, loss = step(state, batch, jax.random.PRNGKey(0))
+        results.append((float(loss), np.asarray(new_state.params["w"])))
+
+    for loss, w in results[1:]:
+        np.testing.assert_allclose(loss, results[0][0], rtol=1e-5)
+        np.testing.assert_allclose(w, results[0][1], rtol=1e-5)
+
+
+def test_grad_accum_hardened_matches_unaccumulated():
+    """Hardened chain under accumulation: NaN scrub per microbatch, 1/N
+    scale, ONE per-replica clip on the accumulated grads — equals the
+    unaccumulated hardened step on clean data."""
+    mesh = make_data_mesh(8)
+    x, y, params, w0 = _make_problem(n=32)
+    opt = optax.adam(1e-3)
+
+    results = []
+    for accum in (1, 4):
+        state = dp.replicate_state(
+            dp.TrainState({"w": jnp.asarray(w0)}, opt.init(params)), mesh)
+        step = dp.make_train_step(_quadratic_loss_fn, opt, mesh,
+                                  hardened=True, grad_accum=accum)
+        batch = dp.shard_batch((x, y), mesh)
+        new_state, loss = step(state, batch, jax.random.PRNGKey(0))
+        results.append((float(loss), np.asarray(new_state.params["w"])))
+
+    np.testing.assert_allclose(results[1][0], results[0][0], rtol=1e-5)
+    np.testing.assert_allclose(results[1][1], results[0][1], rtol=1e-5)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    mesh = make_data_mesh(8)
+    x, y, params, w0 = _make_problem(n=24)  # 3 per replica, accum 2
+    opt = optax.sgd(0.1)
+    state = dp.replicate_state(dp.TrainState(params, opt.init(params)), mesh)
+    step = dp.make_train_step(_quadratic_loss_fn, opt, mesh, grad_accum=2)
+    batch = dp.shard_batch((x, y), mesh)
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, batch, jax.random.PRNGKey(0))

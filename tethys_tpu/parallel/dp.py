@@ -86,6 +86,7 @@ def make_train_step(
     flat_spec=None,
     remat: bool = False,
     param_constraint: Optional[Callable[[Any], Any]] = None,
+    grad_accum: int = 1,
 ):
     """Build a jitted DP train step.
 
@@ -113,6 +114,16 @@ def make_train_step(
     tp.constrain_params) re-pins the auto-axis param shardings inside the
     body; `remat=True` wraps the loss in jax.checkpoint for large-model
     HBM fits.
+
+    `grad_accum=N` (extension; the reference has no accumulation) splits
+    each replica's batch into N equal microbatches and lax.scan-accumulates
+    value_and_grad: per-replica loss and grads become the mean over
+    microbatches (identical to the unaccumulated step when the loss is a
+    per-sample mean; for token-mean losses with ragged padding it is the
+    mean-of-means).  Dropout streams fold in the microbatch index; the
+    hardened NaN scrub runs per microbatch, the per-replica clip once on
+    the accumulated grads.  Pairs with config.remat_layers to fit large
+    effective batches in HBM.
     """
     n_replicas = mesh.shape[axis]
     auto_axes = frozenset(mesh.axis_names) - {axis}
@@ -144,20 +155,54 @@ def make_train_step(
                                state.opt_state)
 
         if hardened:
-            def scaled_loss_fn(params):
-                loss, aux = loss_fn(params, batch, rng)
-                loss = jnp.where(jnp.isnan(loss), 0.0, loss)
-                return loss / n_replicas, aux
+            def vg_fn(params, mb, mb_rng):
+                def scaled_loss_fn(p):
+                    loss, aux = loss_fn(p, mb, mb_rng)
+                    loss = jnp.where(jnp.isnan(loss), 0.0, loss)
+                    return loss / n_replicas, aux
 
-            (local_loss, aux), grads = jax.value_and_grad(
-                scaled_loss_fn, has_aux=True
-            )(state.params)
-            # Per-replica global-norm clip BEFORE aggregation (reference quirk).
-            grads, _ = optax.clip_by_global_norm(1.0).update(grads, optax.EmptyState())
+                return jax.value_and_grad(
+                    scaled_loss_fn, has_aux=True)(params)
         else:
-            (local_loss, aux), grads = jax.value_and_grad(
-                lambda p: loss_fn(p, batch, rng), has_aux=True
-            )(state.params)
+            def vg_fn(params, mb, mb_rng):
+                return jax.value_and_grad(
+                    lambda p: loss_fn(p, mb, mb_rng), has_aux=True)(params)
+
+        if grad_accum > 1:
+            lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if lead % grad_accum:
+                raise ValueError(
+                    f"per-replica batch {lead} is not divisible by "
+                    f"grad_accum={grad_accum}")
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]),
+                batch)
+
+            def accum_body(carry, xs):
+                mb, i = xs
+                (l, a), g = vg_fn(state.params, mb,
+                                  jax.random.fold_in(rng, i))
+                acc_l, acc_g = carry
+                return (acc_l + l,
+                        jax.tree_util.tree_map(jnp.add, acc_g, g)), a
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (sum_l, sum_g), auxs = jax.lax.scan(
+                accum_body, (jnp.zeros((), jnp.float32), zero_g),
+                (micro, jnp.arange(grad_accum)))
+            # Per-replica loss/grads = mean over the equal-size microbatches
+            # (≡ the unaccumulated step when the loss is a per-sample mean).
+            local_loss = sum_l / grad_accum
+            grads = jax.tree_util.tree_map(
+                lambda g: g / grad_accum, sum_g)
+            aux = jax.tree_util.tree_map(lambda x: x.mean(0), auxs)
+        else:
+            (local_loss, aux), grads = vg_fn(state.params, batch, rng)
+        if hardened:
+            # Per-replica global-norm clip BEFORE aggregation (reference quirk).
+            grads, _ = optax.clip_by_global_norm(1.0).update(
+                grads, optax.EmptyState())
 
         grads = jax.lax.psum(grads, axis)  # MWMS aggregates with SUM
         updates, new_opt_state = optimizer.update(

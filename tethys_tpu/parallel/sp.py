@@ -67,6 +67,7 @@ def make_sp_train_step(
     hardened: bool = False,
     return_aux: bool = False,
     grad_aux_fn: Optional[Callable[[Any], Any]] = None,
+    grad_accum: int = 1,
 ):
     """Train step over the ('data', 'seq') mesh with the reference's
     aggregation semantics (see module doc).
@@ -87,6 +88,7 @@ def make_sp_train_step(
         return_aux=return_aux,
         grad_aux_fn=grad_aux_fn,
         remat=remat,
+        grad_accum=grad_accum,
     )
     # Batch dim is a LOCAL (per-data-replica) dim inside the manual region;
     # only the auto 'seq' axis appears in the activation spec.

@@ -149,6 +149,7 @@ def make_tp_train_step(
     hardened: bool = False,
     return_aux: bool = False,
     grad_aux_fn: Optional[Callable[[Any], Any]] = None,
+    grad_accum: int = 1,
 ):
     """Train step over the (data, model) mesh with the reference's
     aggregation semantics (see module doc): dp.make_train_step's replica
@@ -169,6 +170,7 @@ def make_tp_train_step(
         grad_aux_fn=grad_aux_fn,
         remat=remat,
         param_constraint=constrain_params,
+        grad_accum=grad_accum,
     )
 
 

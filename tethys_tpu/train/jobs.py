@@ -157,6 +157,7 @@ def train_whisper(
     pipeline_parallel: int = 1,
     num_microbatches: int = 2,
     remat: bool = False,
+    grad_accum: int = 1,
 ):
     """End-to-end Whisper training job (reference train_whisper,
     speech_jobs/whisper_dist.py:894-958).  With `profiler` set, adds the
@@ -170,7 +171,8 @@ def train_whisper(
     a (data, stage) mesh with the encoder layer stack GPipe-pipelined
     across stages (all extensions — the reference has data parallelism
     only, SURVEY §2.6); `remat` checkpoints the forward for
-    medium/large-model HBM fits."""
+    medium/large-model HBM fits; `grad_accum` scan-accumulates N
+    microbatches per step (see dp.make_train_step)."""
     if sum(p > 1 for p in
            (tensor_parallel, seq_parallel, pipeline_parallel)) > 1:
         raise ValueError(
@@ -257,10 +259,12 @@ def train_whisper(
 
     if tensor_parallel > 1:
         step_fn = tp_lib.make_tp_train_step(loss_fn, optimizer, mesh,
-                                            remat=remat)
+                                            remat=remat,
+                                            grad_accum=grad_accum)
     elif seq_parallel > 1:
         step_fn = sp_lib.make_sp_train_step(loss_fn, optimizer, mesh,
-                                            remat=remat)
+                                            remat=remat,
+                                            grad_accum=grad_accum)
     elif pipeline_parallel > 1:
         # The PP step owns the model forward (the GPipe schedule replaces
         # the encoder layer loop); loss_fn/loss_fn_wrapper don't apply.
@@ -270,7 +274,7 @@ def train_whisper(
             deterministic=False)
     else:
         step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False,
-                                     remat=remat)
+                                     remat=remat, grad_accum=grad_accum)
     if collective_report:
         gbatch = batch_size_per_replica * dict(mesh.shape).get("data", 1)
         _emit_collective_report(
@@ -343,6 +347,7 @@ def train_wav2vec2(
     tensor_parallel: int = 1,
     seq_parallel: int = 1,
     remat: bool = False,
+    grad_accum: int = 1,
 ):
     """End-to-end Wav2Vec2 training job (reference train_wav2vec2,
     speech_jobs/wav2vec2_dist.py:1263-1376).  With `profiler` set, adds the
@@ -357,7 +362,8 @@ def train_wav2vec2(
     Both keep the reference's hardened aggregation contract per parallel
     group (round-3 fix: NaN scrub, 1/N, per-replica clip,
     SUM-of-replica-losses logging — the scraped stdout loss line means
-    the same thing with or without --tp/--sp)."""
+    the same thing with or without --tp/--sp).  `grad_accum`
+    scan-accumulates N microbatches per step (see dp.make_train_step)."""
     if tensor_parallel > 1 and seq_parallel > 1:
         raise ValueError("tensor_parallel and seq_parallel are exclusive")
     if tensor_parallel > 1:
@@ -475,16 +481,19 @@ def train_wav2vec2(
         step_fn = tp_lib.make_tp_train_step(
             loss_fn, optimizer, mesh, remat=remat, hardened=True,
             return_aux=return_aux, grad_aux_fn=grad_aux_fn,
+            grad_accum=grad_accum,
         )
     elif seq_parallel > 1:
         step_fn = sp_lib.make_sp_train_step(
             loss_fn, optimizer, mesh, remat=remat, hardened=True,
             return_aux=return_aux, grad_aux_fn=grad_aux_fn,
+            grad_accum=grad_accum,
         )
     else:
         step_fn = dp.make_train_step(
             loss_fn, optimizer, mesh, hardened=True,
             return_aux=return_aux, grad_aux_fn=grad_aux_fn,
+            grad_accum=grad_accum,
         )
     if collective_report:
         gbatch = batch_size_per_replica * mesh_lib.num_replicas(mesh)
