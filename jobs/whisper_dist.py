@@ -46,6 +46,15 @@ def main() -> None:
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="accumulate N microbatches per optimizer step "
                              "(extension; batch_size must divide by N)")
+    parser.add_argument("--model_size", type=str, default="small",
+                        choices=["tiny", "base", "small", "medium", "large"],
+                        help="whisper size preset (extension; the reference "
+                             "job is fixed to its nonstandard 'small')")
+    parser.add_argument("--master_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="master param/Adam-moment dtype; bfloat16 is "
+                             "the single-chip capacity mode for "
+                             "medium/large (pair with --remat_layers)")
     args = parser.parse_args()
     if sum(p > 1 for p in (args.tp, args.sp, args.pp)) > 1:
         parser.error("--tp, --sp and --pp are mutually exclusive")
@@ -86,7 +95,7 @@ def main() -> None:
 
     with maybe_profiler_trace(getattr(args, 'jax_profile', None)):
         result, _model, _config = jobs.train_whisper(
-            model_type="small",
+            model_type=args.model_size,
             batch_size_per_replica=args.batch_size,
             num_batches=args.num_batches,
             mesh=mesh,
@@ -99,11 +108,12 @@ def main() -> None:
             num_microbatches=args.microbatches,
             remat=args.remat,
             grad_accum=args.grad_accum,
+            master_dtype=args.master_dtype,
             config_overrides=(
                 {"remat_layers": True} if args.remat_layers else None),
         )
     jct = time.time() - start
-    jobs.finalize_job(result, "whisper_small_model", jct)
+    jobs.finalize_job(result, f"whisper_{args.model_size}_model", jct)
 
 
 if __name__ == "__main__":

@@ -229,3 +229,26 @@ def test_resume_flag_restores_latest(tmp_path, capsys):
     jobs.train_wav2vec2(**common, resume=True)
     out = capsys.readouterr().out
     assert "Resumed from checkpoint model_epoch_1" in out
+
+
+def test_whisper_job_capacity_mode(tmp_path, capsys):
+    """The single-chip capacity combo — remat_layers + bf16 master +
+    grad_accum — runs end-to-end through train_whisper with finite,
+    moving loss (the config medium/large jobs use, at tiny shapes)."""
+    mesh = make_data_mesh(8)
+    overrides = dict(TINY_WHISPER, remat_layers=True)
+    result, model, config = jobs.train_whisper(
+        model_type="small",
+        batch_size_per_replica=2,
+        num_batches=3,
+        mesh=mesh,
+        checkpointing=False,
+        data_seq_len=128,
+        config_overrides=overrides,
+        grad_accum=2,
+        master_dtype="bfloat16",
+    )
+    out = capsys.readouterr().out
+    assert len(LOG_RE.findall(out)) == 3
+    assert all(np.isfinite(result.losses))
+    assert result.losses[-1] != result.losses[0]

@@ -158,6 +158,7 @@ def train_whisper(
     num_microbatches: int = 2,
     remat: bool = False,
     grad_accum: int = 1,
+    master_dtype: str = "float32",
 ):
     """End-to-end Whisper training job (reference train_whisper,
     speech_jobs/whisper_dist.py:894-958).  With `profiler` set, adds the
@@ -172,7 +173,11 @@ def train_whisper(
     across stages (all extensions — the reference has data parallelism
     only, SURVEY §2.6); `remat` checkpoints the forward for
     medium/large-model HBM fits; `grad_accum` scan-accumulates N
-    microbatches per step (see dp.make_train_step)."""
+    microbatches per step (see dp.make_train_step);
+    `master_dtype="bfloat16"` stores master params (and hence Adam
+    moments) in bf16 — the single-chip capacity mode for medium/large
+    (quarters optimizer HBM; same trade tp.init_tp_state offers via
+    param_dtype)."""
     if sum(p > 1 for p in
            (tensor_parallel, seq_parallel, pipeline_parallel)) > 1:
         raise ValueError(
@@ -206,6 +211,9 @@ def train_whisper(
     )
     rng = jax.random.PRNGKey(seed)
     params = _init_whisper(model, config, rng)
+    if master_dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params)
     optimizer = dp.whisper_optimizer(learning_rate)
     if tensor_parallel > 1:
         state = tp_lib.init_tp_state(params, optimizer, mesh)
