@@ -354,3 +354,64 @@ def test_w2v2_tp_hardened_step_matches_dp_step():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-6),
         jax.device_get(new_state.params), golden)
+
+
+def test_tp_with_remat_layers_matches_dp():
+    """config.remat_layers under the (data, model) mesh: the per-layer
+    nn.remat regions must compose with the Megatron shardings (GSPMD
+    partitions inside each remat region) and stay numerically equal to the
+    plain DP step."""
+    import optax
+    import pytest
+
+    from tethys_tpu.parallel.mesh import make_data_mesh
+
+    config = WhisperConfig(
+        d_model=64, encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4, d_ff=128,
+        n_mels=8, n_ctx=32, vocab_size=64, max_target_positions=16,
+        decoder_start_token_id=60,
+    )
+    import dataclasses
+
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 8, 64)), jnp.float32)
+    labels = jnp.asarray(
+        np.random.default_rng(1).integers(3, 60, (4, 8)), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+
+    losses = {}
+    params0 = None
+    for name, remat_layers in (("plain", False), ("remat", True)):
+        cfg = dataclasses.replace(config, remat_layers=remat_layers)
+        model = WhisperForConditionalGeneration(cfg)
+        params = model.init({"params": rng, "dropout": rng}, feats[:1],
+                            labels=labels[:1], deterministic=True)["params"]
+
+        def loss_fn(p, batch, step_rng):
+            f, l = batch
+            out = model.apply({"params": p}, f, labels=l, deterministic=True)
+            return out["loss"], {}
+
+        opt = optax.sgd(1e-2)
+        if name == "plain":
+            mesh = make_data_mesh(4)
+            state = dp.replicate_state(
+                dp.TrainState(params, opt.init(params)), mesh)
+            step = dp.make_train_step(loss_fn, opt, mesh)
+        else:
+            mesh = tp.make_2d_mesh(8, model_parallel=2)
+            state = tp.init_tp_state(params, opt, mesh)
+            step = tp.make_tp_train_step(loss_fn, opt, mesh)
+        batch = dp.shard_batch((feats, labels), mesh)
+        new_state, loss = step(state, batch, rng)
+        losses[name] = float(loss)
+        k = np.asarray(
+            jax.device_get(new_state.params["model"]["encoder"]["layers_0"][
+                "feed_forward"]["fc1"]["kernel"]))
+        if params0 is None:
+            params0 = k
+        else:
+            np.testing.assert_allclose(k, params0, rtol=2e-5, atol=1e-6)
+
+    assert losses["plain"] == pytest.approx(losses["remat"], rel=1e-5)
