@@ -29,7 +29,8 @@ def _build_whisper(args, jax, jnp, dp, host_cpu_context):
 
     model, config = create_whisper_model(
         args.model, compute_dtype=args.dtype,
-        remat_layers=getattr(args, "remat_layers", False))
+        remat_layers=getattr(args, "remat_layers", False),
+        remat_policy=getattr(args, "remat_policy", "save_flash"))
     rng = jax.random.PRNGKey(0)
     np_rng = np.random.default_rng(0)
     features = jnp.asarray(
@@ -231,6 +232,11 @@ def main() -> None:
                              "whole-loss checkpoint (holds only layer-"
                              "boundary activations; the real capacity mode "
                              "for medium/large)")
+    parser.add_argument("--remat_policy", type=str, default="save_flash",
+                        choices=["save_flash", "none"],
+                        help="remat_layers policy: save_flash keeps the "
+                             "flash kernel outputs so the backward skips "
+                             "the forward-kernel recompute")
     parser.add_argument("--flat_opt", action="store_true",
                         help="use the flat-buffer optimizer path "
                              "(parallel/flat.py) instead of the per-tensor "

@@ -90,6 +90,11 @@ def main() -> None:
                    help="parse an existing trace instead of running one")
     p.add_argument("--flat_opt", action="store_true",
                    help="profile the flat-buffer optimizer path")
+    p.add_argument("--master_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_layers", action="store_true",
+                   help="per-layer nn.remat (medium/large capacity mode)")
     args = p.parse_args()
 
     logdir = args.logdir

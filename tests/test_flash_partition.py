@@ -300,3 +300,65 @@ def test_pp_trainer_step_with_flash_matches_plain(_force_flash):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         unpacked, jax.device_get(p_plain))
+
+
+def test_remat_layers_save_flash_policy():
+    """config.remat_layers + remat_policy='save_flash': the nn.remat region
+    must (a) match the un-rematted model numerically with the flash kernel
+    ACTIVE, and (b) actually skip the forward-kernel recompute — counted as
+    custom_partitioning calls in the grad jaxpr (fwd + bwd = 2 with the
+    policy; fwd + recompute-fwd + bwd = 3 without)."""
+    import dataclasses
+
+    import optax  # noqa: F401 (parity with sibling tests' imports)
+
+    import tethys_tpu.ops.attention as attn
+    from tethys_tpu.models.whisper import WhisperForConditionalGeneration
+    from tethys_tpu.configs import WhisperConfig
+
+    saved = (attn._FLASH_FORCE, attn._FLASH_MIN_SEQ)
+    attn._FLASH_FORCE, attn._FLASH_MIN_SEQ = True, 16
+    try:
+        base = WhisperConfig(
+            d_model=32, encoder_layers=1, encoder_attention_heads=2,
+            decoder_layers=1, decoder_attention_heads=2, d_ff=64,
+            n_mels=8, n_ctx=64, vocab_size=50, max_target_positions=16,
+            decoder_start_token_id=47, use_flash_attention=True,
+        )
+        feats = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 8, 128)),
+            jnp.float32)
+        labels = jnp.asarray(
+            np.random.default_rng(1).integers(3, 40, (2, 8)), jnp.int32)
+        rng = jax.random.PRNGKey(0)
+
+        grads, jaxprs = {}, {}
+        for name, over in (
+            ("plain", {}),
+            ("save_flash", dict(remat_layers=True,
+                                remat_policy="save_flash")),
+            ("remat_none", dict(remat_layers=True, remat_policy="none")),
+        ):
+            cfg = dataclasses.replace(base, **over)
+            model = WhisperForConditionalGeneration(cfg)
+            params = model.init(
+                {"params": rng, "dropout": rng}, feats[:1],
+                labels=labels[:1], deterministic=True)["params"]
+
+            def loss(p):
+                return model.apply({"params": p}, feats, labels=labels,
+                                   deterministic=True)["loss"]
+
+            grads[name] = jax.grad(loss)(params)
+            jaxprs[name] = str(jax.make_jaxpr(jax.grad(loss))(params))
+
+        for other in ("save_flash", "remat_none"):
+            for a, b in zip(jax.tree_util.tree_leaves(grads["plain"]),
+                            jax.tree_util.tree_leaves(grads[other])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+        n_save = jaxprs["save_flash"].count("custom_partitioning")
+        n_none = jaxprs["remat_none"].count("custom_partitioning")
+        assert n_save < n_none, (n_save, n_none)
+    finally:
+        attn._FLASH_FORCE, attn._FLASH_MIN_SEQ = saved

@@ -80,6 +80,12 @@ class WhisperConfig:
     # intermediates live during the backward (peak ~= no-remat), which is
     # what made whisper-large spill (BASELINE.md round-3: 326 s/step).
     remat_layers: bool = False
+    # Remat policy for remat_layers.  "save_flash" saves the flash-attention
+    # kernel outputs (o, lse — checkpoint_name-tagged in the custom_vjp fwd
+    # rule) so the backward reuses them instead of re-running the forward
+    # kernel during recompute: ~32 MB/layer at whisper-large b8 for ~1/3 of
+    # the flash kernel time back.  "none" recomputes everything.
+    remat_policy: str = "save_flash"
 
     @property
     def dtype(self):

@@ -150,6 +150,18 @@ class WhisperFeedForward(nn.Module):
         return x
 
 
+def _remat_policy(cfg: WhisperConfig):
+    """Checkpoint policy for config.remat_layers (see configs.remat_policy)."""
+    if cfg.remat_policy == "save_flash":
+        from jax.ad_checkpoint import checkpoint_policies
+
+        return checkpoint_policies.save_only_these_names(
+            "flash_o", "flash_lse")
+    if cfg.remat_policy == "none":
+        return None
+    raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r}")
+
+
 class WhisperEncoderLayer(nn.Module):
     config: WhisperConfig
 
@@ -275,7 +287,8 @@ class WhisperEncoder(nn.Module):
             # Per-layer activation checkpointing (see configs.remat_layers).
             # static argnums count the module as 0: (x=1, bias=2,
             # deterministic=3, kv_len=4).
-            layer_cls = nn.remat(WhisperEncoderLayer, static_argnums=(3, 4))
+            layer_cls = nn.remat(WhisperEncoderLayer, static_argnums=(3, 4),
+                                 policy=_remat_policy(cfg))
         for i in range(cfg.encoder_layers):
             x = layer_cls(cfg, name=f"layers_{i}")(
                 x, None, deterministic, kv_len
@@ -333,7 +346,8 @@ class WhisperDecoder(nn.Module):
             # and gains nothing from remat).  static argnums with the module
             # as 0: deterministic=7, cross_kv_len=8, cross_kv_only=10.
             layer_cls = nn.remat(WhisperDecoderLayer,
-                                 static_argnums=(7, 8, 10))
+                                 static_argnums=(7, 8, 10),
+                                 policy=_remat_policy(cfg))
         for i in range(cfg.decoder_layers):
             layer_cache = caches[i] if caches is not None else None
             x, new_cache = layer_cls(cfg, name=f"layers_{i}")(

@@ -737,6 +737,16 @@ def _flash(q, k, v, seed_arr, dropout_rate: float, kv_len: int):
 
 def _flash_fwd_rule(q, k, v, seed_arr, dropout_rate, kv_len):
     o, lse = _make_fwd_cp(dropout_rate, kv_len)(q, k, v, seed_arr)
+    # Offer the kernel outputs to rematerialization policies: under
+    # per-layer nn.remat with save_only_these_names("flash_o", "flash_lse")
+    # the backward reuses the saved (o, lse) instead of re-running the
+    # forward kernel during recompute (q/k/v are rebuilt from the cheap
+    # projection matmuls).  With no policy (or none matching) this is an
+    # identity.  See configs.WhisperConfig.remat_policy.
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse, seed_arr)
 
 
