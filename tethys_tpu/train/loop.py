@@ -10,6 +10,16 @@ Epoch header `Epoch {e+1}/{num_epochs}`; optional 50-step checkpoint cadence
 (wav2vec2) and per-epoch checkpoints; the wav2vec2 loop additionally swallows
 per-step exceptions and resets the iterator
 (reference wav2vec2_dist.py:1367-1371).
+
+The loss fetch is PIPELINED one step deep: step i is dispatched (async under
+jit), then step i-1's loss is materialized and printed while the device runs
+step i.  The reference's TF runtime got this overlap for free from its async
+executor; a naive `float(loss)` per step instead blocks the host on the
+device (measured ~26 ms/step through a tunneled TPU runtime, ~4 ms on a
+local chip).  Print order, line format, loss values, and checkpoint cadence
+are unchanged — only the blocking point moves.  The pending step is flushed
+before any checkpoint save and at epoch end, so stdout ordering relative to
+checkpoint messages is also unchanged.
 """
 
 from __future__ import annotations
@@ -49,6 +59,36 @@ def run_training(
     step = 0
     iterator = iter(dataset)
     start_time = time.time()
+    # One-deep pipeline of the loss materialization (module doc):
+    # (step_idx, loss handle, aux, dispatch-start time).
+    pending = None
+    last_ready = start_time
+
+    def flush_pending():
+        """Materialize + print the pending step's loss (blocks until that
+        step's device work is done — by then the NEXT step is usually
+        already running)."""
+        nonlocal pending, last_ready
+        if pending is None:
+            return
+        idx, loss, aux, p_start = pending
+        pending = None
+        loss_value = float(jax.device_get(loss))
+        now = time.time()
+        # Ready-to-ready in the pipelined steady state (≈ device step time);
+        # anchored at dispatch start after a gap (checkpoint, epoch turn).
+        step_duration = now - max(p_start, last_ready)
+        last_ready = now
+        elapsed = now - start_time
+        print(
+            f"Step {idx}, Loss: {loss_value:.4f}, "
+            f"Time: {time.strftime('%H:%M:%S')} "
+            f"(경과: {elapsed:.2f}초, 스텝 시간: {step_duration:.2f}초)"
+        )
+        losses.append(loss_value)
+        step_times.append(step_duration)
+        for hook in step_hooks:
+            hook(idx, loss_value, step_duration, aux)
 
     for epoch in range(num_epochs):
         print(f"Epoch {epoch+1}/{num_epochs}")
@@ -70,20 +110,8 @@ def run_training(
                     state, loss, aux = outputs
                 else:
                     (state, loss), aux = outputs, None
-                loss_value = float(jax.device_get(loss))
-                step_end = time.time()
-
-                step_duration = step_end - step_start
-                elapsed = step_end - start_time
-                print(
-                    f"Step {step}, Loss: {loss_value:.4f}, "
-                    f"Time: {time.strftime('%H:%M:%S')} "
-                    f"(경과: {elapsed:.2f}초, 스텝 시간: {step_duration:.2f}초)"
-                )
-                losses.append(loss_value)
-                step_times.append(step_duration)
-                for hook in step_hooks:
-                    hook(step, loss_value, step_duration, aux)
+                flush_pending()          # step-(i-1) fetch overlaps step i
+                pending = (step, loss, aux, step_start)
                 step += 1
                 it += 1
 
@@ -92,19 +120,30 @@ def run_training(
                     and checkpoint_every_steps
                     and step % checkpoint_every_steps == 0
                 ):
+                    flush_pending()      # keep stdout order vs ckpt messages
                     checkpoint_manager.save(f"{checkpoint_tag}_step_{step}", state)
             except Exception as e:  # noqa: BLE001
                 if not resilient:
                     raise
-                print(f"Error at step {step}: {e}")
+                failed = step
+                try:
+                    # A dispatch-time error leaves the previous (pending)
+                    # step valid — print its line before the error line.
+                    # A fetch-time error already cleared `pending`.
+                    flush_pending()
+                except Exception:  # noqa: BLE001 — poisoned loss handle
+                    pending = None
+                print(f"Error at step {failed}: {e}")
                 iterator = iter(dataset)
                 it += 1
                 continue
 
+        flush_pending()                  # epoch's last line before any epilogue
         if checkpoint_manager is not None:
             tag = epoch_checkpoint_tag or checkpoint_tag
             checkpoint_manager.save(f"{tag}_epoch_{epoch+1}", state)
 
+    flush_pending()
     return TrainLoopResult(state, losses, step_times, step)
 
 
