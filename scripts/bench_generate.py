@@ -38,6 +38,15 @@ def main() -> None:
                    help="decode in C-step chunks inside a lax.while_loop "
                         "(stops within C-1 steps of a global EOS); must "
                         "divide --length")
+    p.add_argument("--host_chunk", type=int, default=None,
+                   help="host-loop early stop: one jitted C-step chunk "
+                        "dispatched repeatedly, done-flag checked between "
+                        "chunks (models.whisper.make_chunked_greedy); "
+                        "compiles where the while-of-scans form does not")
+    p.add_argument("--force_eos", action="store_true",
+                   help="bias the lm_head so EOS always wins (global EOS "
+                        "at decode step 1) — demonstrates early-stop "
+                        "savings on random weights")
     args = p.parse_args()
 
     from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
@@ -65,6 +74,11 @@ def main() -> None:
             {"params": rng, "dropout": rng},
             features[:1, :, :64], labels=labels[:1], deterministic=True,
         )["params"]}
+    if args.force_eos:
+        bias = variables["params"]["lm_head"]["bias"]
+        variables["params"]["lm_head"]["bias"] = bias.at[
+            config.eos_token_id].set(1e4)
+
     # Init ran on host CPU; move the weights onto the chip once so the
     # timed calls don't re-transfer ~300 MB per invocation.
     variables = jax.device_put(variables, jax.devices()[0])
@@ -73,17 +87,24 @@ def main() -> None:
     # are baked into the program as literals, and on remote-compile runtimes
     # the ~300 MB upload is rejected (HTTP 413) or crawls for tens of
     # minutes.
-    gen = jax.jit(
-        lambda v, feats: greedy_generate(
-            model, v, feats, max_length=args.length,
-            early_stop_chunk=args.early_stop_chunk))
+    if args.host_chunk is not None:
+        from tethys_tpu.models.whisper import make_chunked_greedy
+
+        gen = make_chunked_greedy(model, max_length=args.length,
+                                  chunk=args.host_chunk)
+    else:
+        gen = jax.jit(
+            lambda v, feats: greedy_generate(
+                model, v, feats, max_length=args.length,
+                early_stop_chunk=args.early_stop_chunk))
     encode = jax.jit(
         lambda v, feats: model.apply(v, feats, method=model.encode))
 
     print(f"compiling generate (batch={args.batch_size} "
           f"len={args.length})...", file=sys.stderr, flush=True)
     t_c = time.perf_counter()
-    gen = gen.lower(variables, features).compile()
+    if args.host_chunk is None:
+        gen = gen.lower(variables, features).compile()
     print(f"compiled in {time.perf_counter() - t_c:.0f}s",
           file=sys.stderr, flush=True)
     tokens, length = gen(variables, features)
@@ -117,6 +138,9 @@ def main() -> None:
         "decode_len": n_decoded,
         "dtype": args.dtype,
         "backend": jax.default_backend(),
+        **({"host_chunk": args.host_chunk,
+            "chunks_run": getattr(gen, "chunks_run", None)}
+           if args.host_chunk is not None else {}),
     }), flush=True)
 
 

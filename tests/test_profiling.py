@@ -177,3 +177,101 @@ def test_train_step_collectives_accounting():
     hlo = step.lower(state, batch, jax.random.PRNGKey(0)).compile().as_text()
     report = collective_traffic_report(hlo)
     assert report["total_bytes"] >= 64 * 32 * 4  # w grads + loss psum
+
+
+def test_whisper_intra_op_census_entries():
+    """Intra-op census shapes/bytes (VERDICT r3 item 6): scores/probs at
+    [B,H,Tq,Tkv], q/k/v states, the decoder's f32 mask, the gelu output —
+    exact analytic byte accounting."""
+    from tethys_tpu.configs import WhisperConfig
+    from tethys_tpu.profiling.tensorsize import whisper_intra_op_inventory
+
+    cfg = WhisperConfig(d_model=32, encoder_layers=2, decoder_layers=2,
+                        encoder_attention_heads=4, decoder_attention_heads=4,
+                        d_ff=64, n_mels=8, vocab_size=100)
+    inv = whisper_intra_op_inventory(cfg, batch_size=2, enc_len=16, dec_len=6)
+    by_name = {name: (shape, dtype, nbytes) for name, shape, dtype, nbytes in inv}
+    assert by_name["encoder/layers_0/self_attn/attention_scores"] == (
+        (2, 4, 16, 16), "float32", 2 * 4 * 16 * 16 * 4)
+    assert by_name["decoder/layers_1/cross_attn/attention_probs"] == (
+        (2, 4, 6, 16), "float32", 2 * 4 * 6 * 16 * 4)
+    assert by_name["decoder/layers_0/self_attn/attention_mask"] == (
+        (2, 6, 6), "float32", 2 * 6 * 6 * 4)
+    assert by_name["encoder/layers_1/self_attn/query_states"] == (
+        (2, 4, 16, 8), "float32", 2 * 4 * 16 * 8 * 4)
+    assert by_name["encoder/layers_0/feed_forward/activation_output"] == (
+        (2, 16, 64), "float32", 2 * 16 * 64 * 4)
+    # per encoder layer: q/k/v + scores + probs + raw + gelu = 7; per decoder
+    # layer: self(7 + mask) + cross(6, no gelu) + gelu = 14
+    assert len(inv) == cfg.encoder_layers * 7 + cfg.decoder_layers * 14
+
+
+def test_whisper_census_matches_reference_accounting():
+    """The full activation census (module outputs + analytic intra-op) must
+    land within ~10% of a hand-computed census of the REFERENCE's 21
+    track points (whisper_dist_tensorsize.py:595-777) at whisper-small
+    shapes — the Tiresias MB becomes comparable to a reference-produced
+    number for the same model."""
+    from tethys_tpu.models.whisper import create_whisper_model
+    from tethys_tpu.profiling.tensorsize import whisper_intra_op_inventory
+
+    model, cfg = create_whisper_model("small")
+    B, Te, Td = 1, 1500, 100
+    E, F = cfg.d_model, cfg.d_ff
+    H = cfg.encoder_attention_heads
+
+    # Hand-computed reference census (all activations f32, bytes):
+    elem = 4
+    attn = lambda tq, tkv: (  # noqa: E731 — 9 attention track points
+        tq * E            # hidden_states_input
+        + 3 * 0           # (q/k/v counted at their split shapes below)
+        + H * tkv * (E // H) * 2   # key_states + value_states
+        + H * tq * (E // H)        # query_states
+        + H * tq * tkv * 2         # scores + probs
+        + H * tq * (E // H)        # output_raw
+        + tq * E          # output_final
+    ) * B * elem
+    ff = lambda t: (t * E + t * F + t * F + t * E + t * E) * B * elem  # noqa: E731
+    posenc = lambda t: 2 * t * E * B * elem  # noqa: E731
+    mask = lambda t: t * t * B * elem  # noqa: E731
+    reference_bytes = (
+        posenc(Te) + posenc(Td)
+        + cfg.encoder_layers * (attn(Te, Te) + ff(Te))
+        + cfg.decoder_layers * (attn(Td, Td) + mask(Td)
+                                + attn(Td, Te) + ff(Td))
+    )
+
+    params = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            jnp.zeros((1, cfg.n_mels, 64)), labels=jnp.zeros((1, Td), jnp.int32),
+            deterministic=True)["params"])
+    feats = jax.ShapeDtypeStruct((B, cfg.n_mels, 2 * Te), jnp.float32)
+    labs = jax.ShapeDtypeStruct((B, Td), jnp.int32)
+    act_inv = intermediate_inventory(
+        model, params, feats, labels=labs, deterministic=True)
+    intra_inv = whisper_intra_op_inventory(cfg, B, enc_len=Te, dec_len=Td)
+    # the fused projections are not Dense modules: no q/k/v double count
+    assert not any("q_proj" in name or "k_proj" in name or "v_proj" in name
+                   for name, *_ in act_inv)
+    census_bytes = (sum(n for *_, n in act_inv)
+                    + sum(n for *_, n in intra_inv))
+    ratio = census_bytes / reference_bytes
+    assert 0.9 < ratio < 1.15, (
+        f"census {census_bytes/2**20:.1f} MB vs reference-accounting "
+        f"{reference_bytes/2**20:.1f} MB (ratio {ratio:.3f})")
+
+
+def test_wav2vec2_intra_op_census():
+    from tethys_tpu.configs import Wav2Vec2Config
+    from tethys_tpu.profiling.tensorsize import (
+        conv_output_length, wav2vec2_intra_op_inventory,
+    )
+
+    cfg = Wav2Vec2Config()  # base-ish defaults
+    frames = conv_output_length(32000, cfg.conv_stride)
+    assert frames == conv_output_length(32000, cfg.conv_stride)
+    inv = wav2vec2_intra_op_inventory(cfg, batch_size=2, frames=frames)
+    assert len(inv) == cfg.num_hidden_layers * 2
+    name, shape, dtype, nbytes = inv[0]
+    assert shape == (2, cfg.num_attention_heads, frames, frames)

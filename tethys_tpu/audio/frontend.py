@@ -101,12 +101,40 @@ def extract_fbank_features(
     return jnp.log(mel + 1e-6)
 
 
+def _use_fused_kernel() -> bool:
+    """Fused pallas log-mel on TPU (TETHYS_FUSED_LOGMEL=0 disables); the
+    XLA frontend stays the CPU/GPU fallback."""
+    import os
+
+    if os.environ.get("TETHYS_FUSED_LOGMEL", "1") == "0":
+        return False
+    from tethys_tpu.audio import pallas_logmel
+    from tethys_tpu.utils.device import target_platform
+
+    return pallas_logmel._INTERPRET or target_platform() == "tpu"
+
+
+def log_mel_features(waveform: jax.Array, sample_rate: int = 16000,
+                     n_mels: int = 80, n_fft: int = 400,
+                     hop_length: int = 160) -> jax.Array:
+    """[..., T] -> [..., F, n_mels]: the fused single-kernel path on TPU
+    (audio/pallas_logmel.py — windowed DFT, power, mel, log in one pass),
+    the XLA frontend elsewhere.  Same numerics contract (goldens in
+    tests/test_audio.py)."""
+    if _use_fused_kernel():
+        from tethys_tpu.audio.pallas_logmel import fused_log_mel
+
+        return fused_log_mel(waveform, sample_rate, n_mels, n_fft, hop_length)
+    return extract_fbank_features(waveform, sample_rate, n_mels, n_fft,
+                                  hop_length)
+
+
 def prepare_input_features(waveform: jax.Array, n_frames: int = 3000,
                            n_mels: int = 80) -> jax.Array:
     """Waveform [T] -> model input [1, n_mels, n_frames]: log-mel, transposed
     to the encoder layout and padded/trimmed to the 30 s frame budget (the
     transpose the reference transcribe path forgot)."""
-    feats = extract_fbank_features(waveform)           # [F, n_mels]
+    feats = log_mel_features(waveform)                 # [F, n_mels]
     feats = feats.T                                    # [n_mels, F]
     f = feats.shape[-1]
     if f < n_frames:

@@ -37,7 +37,7 @@ from tethys_tpu.losses import seq2seq_shifted_ce
 from tethys_tpu.ops.activations import gelu
 from tethys_tpu.ops.attention import flash_active, multi_head_attention
 from tethys_tpu.ops.pallas_dropout import module_dropout
-from tethys_tpu.ops.pallas_transpose import merge_heads, split_heads
+from tethys_tpu.ops.pallas_qkv import merge_project, project_split
 from tethys_tpu.ops.masks import NEG_INF, causal_additive_mask
 from tethys_tpu.ops.sharding import seq_constrain
 from tethys_tpu.ops.posenc import sinusoidal_table
@@ -51,8 +51,34 @@ EmbedInit = lambda key, shape, dtype=jnp.float32: jax.random.uniform(  # noqa: E
 Cache = Dict[str, jax.Array]
 
 
+class _ProjParams(nn.Module):
+    """Declares a Dense-shaped (kernel, bias) pair WITHOUT computing, so the
+    attention can feed the fused projection kernels (ops/pallas_qkv.py).
+    Param tree paths/shapes/inits are byte-identical to the nn.Dense modules
+    this replaced (name/kernel, name/bias) — checkpoints, the TF parity
+    port, and the TP sharding rules all keep working.  The accessor is NOT
+    `__call__` so flax capture_intermediates doesn't census raw weights as
+    activations (the q/k/v/out activations are instead in the analytic
+    intra-op census, profiling/tensorsize.py)."""
+
+    features: int
+
+    @nn.compact
+    def fetch(self, in_features: int):
+        kernel = self.param("kernel", DenseInit, (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class WhisperAttention(nn.Module):
-    """Unified self / cross / cached attention."""
+    """Unified self / cross / cached attention.
+
+    Projections route through project_split/merge_project
+    (ops/pallas_qkv.py): by default the identical-numerics dot +
+    split_heads path; TETHYS_FUSED_QKV=1 opts into the fused
+    projection+head-split / merge+projection pallas kernels, which the
+    v5e whole-step A/B measured ~4 ms SLOWER at base shapes (recorded
+    negative, BASELINE.md round 4)."""
 
     config: WhisperConfig
     num_heads: int
@@ -75,31 +101,40 @@ class WhisperAttention(nn.Module):
         head_dim = d_model // self.num_heads
         dtype = cfg.dtype
 
-        dense = lambda name: nn.Dense(  # noqa: E731
-            d_model, use_bias=True, dtype=dtype, kernel_init=DenseInit, name=name
-        )
-        q_proj, k_proj, v_proj, out_proj = (
-            dense("q_proj"), dense("k_proj"), dense("v_proj"), dense("out_proj")
+        proj = lambda name: _ProjParams(  # noqa: E731
+            d_model, name=name).fetch(d_model)
+        q_w, k_w, v_w, out_w = (
+            proj("q_proj"), proj("k_proj"), proj("v_proj"), proj("out_proj")
         )
 
-        def split(x):  # [B, T, H*d] -> [B, H, T, d], fast-transpose on TPU
-            return split_heads(x, self.num_heads)
+        def cast(x):
+            return x.astype(dtype)
 
         kv_source = key_value_states if key_value_states is not None else hidden_states
         if kv_only:
             # Incremental-decode setup: project K/V once per generate() so
             # the per-token decode step skips 2 projections of the full
             # [B, Tenc, E] encoder output per layer.
-            return (split(k_proj(kv_source)), split(v_proj(kv_source))), None
+            k, v = project_split(
+                cast(kv_source), [(*k_w, 1.0), (*v_w, 1.0)], self.num_heads)
+            return (k, v), None
 
         scaling = head_dim ** -0.5
-        query = split(q_proj(hidden_states) * scaling)
+        is_self_attn = key_value_states is None and precomputed_kv is None
 
-        if precomputed_kv is not None:
-            key, value = precomputed_kv
+        if is_self_attn:
+            query, key, value = project_split(
+                cast(hidden_states),
+                [(*q_w, scaling), (*k_w, 1.0), (*v_w, 1.0)], self.num_heads)
         else:
-            key = split(k_proj(kv_source))
-            value = split(v_proj(kv_source))
+            (query,) = project_split(
+                cast(hidden_states), [(*q_w, scaling)], self.num_heads)
+            if precomputed_kv is not None:
+                key, value = precomputed_kv
+            else:
+                key, value = project_split(
+                    cast(kv_source), [(*k_w, 1.0), (*v_w, 1.0)],
+                    self.num_heads)
 
         new_cache = None
         if cache is not None:
@@ -132,8 +167,8 @@ class WhisperAttention(nn.Module):
             use_flash=cfg.use_flash_attention,
             kv_len=kv_len,
         )
-        attn = merge_heads(attn)  # [B, H, Tq, d] -> [B, Tq, H*d]
-        return out_proj(attn), new_cache
+        # [B, H, Tq, d] × out_proj -> [B, Tq, E]; merge fused into the matmul
+        return merge_project(attn.astype(dtype), *out_w), new_cache
 
 
 class WhisperFeedForward(nn.Module):
@@ -526,6 +561,30 @@ def init_kv_caches(config: WhisperConfig, batch: int, max_length: int):
     )
 
 
+def _decode_scan_body(model, variables, encoder_hidden, cross_kvs, cfg):
+    """One greedy decode step as a lax.scan body over the token index —
+    shared by greedy_generate's in-graph forms and make_chunked_greedy's
+    host-chunked form (identical numerics by construction)."""
+
+    def body(carry, i):
+        tokens, caches, done, n = carry
+        current = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
+        logits, caches = model.apply(
+            variables, current, encoder_hidden, caches, i, cross_kvs,
+            method=model.decode_step,
+        )
+        next_tokens = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        next_tokens = jnp.where(done, cfg.pad_token_id, next_tokens)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, next_tokens[:, None], i + 1, axis=1
+        )
+        n = jnp.where(done, n, i + 1)
+        done = jnp.logical_or(done, jnp.all(next_tokens == cfg.eos_token_id))
+        return (tokens, caches, done, n), None
+
+    return body
+
+
 def greedy_generate(
     model: WhisperForConditionalGeneration,
     variables,
@@ -587,21 +646,7 @@ def greedy_generate(
     # toolchain even this chunked while form did not compile within 25 min
     # (whisper-base, C=32, len 128 — BASELINE.md), so it stays opt-in for
     # toolchains without the while_loop pathology.
-    def body(carry, i):
-        tokens, caches, done, n = carry
-        current = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
-        logits, caches = model.apply(
-            variables, current, encoder_hidden, caches, i, cross_kvs,
-            method=model.decode_step,
-        )
-        next_tokens = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        next_tokens = jnp.where(done, cfg.pad_token_id, next_tokens)
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, next_tokens[:, None], i + 1, axis=1
-        )
-        n = jnp.where(done, n, i + 1)
-        done = jnp.logical_or(done, jnp.all(next_tokens == cfg.eos_token_id))
-        return (tokens, caches, done, n), None
+    body = _decode_scan_body(model, variables, encoder_hidden, cross_kvs, cfg)
 
     init = (tokens, caches, jnp.bool_(False), jnp.int32(0))
     if chunk is None:
@@ -623,3 +668,67 @@ def greedy_generate(
     tokens = tokens[:, : max_length + 1]
     length = jnp.minimum(length + 1, max_length + 1)
     return tokens, length
+
+
+def make_chunked_greedy(
+    model: WhisperForConditionalGeneration,
+    max_length: int,
+    chunk: int,
+):
+    """Early-stopping greedy decode as a HOST loop of one jitted C-step
+    chunk (VERDICT r3 item 9).
+
+    The in-graph early-stop forms both lose on this toolchain: the plain
+    scan always runs max_length steps, and the while-of-scans form does
+    not compile within 25 min through the remote-compile service
+    (greedy_generate's early_stop_chunk note above).  Here each chunk is
+    the SAME C-step scan compiled once (the chunk start index is a traced
+    argument, so every chunk reuses one executable); after each chunk the
+    host fetches the scalar `done` flag (~1 RTT, amortized over C decode
+    steps) and stops dispatching.  Token-identical to greedy_generate
+    (shared _decode_scan_body; test-pinned); at most C-1 decode steps are
+    wasted after a global EOS instead of max_length - n.
+
+    Returns `generate(variables, input_features) -> (tokens, length)`;
+    after each call `generate.chunks_run` holds the number of chunks
+    dispatched (observability for tests/benches)."""
+    if max_length % chunk != 0:
+        raise ValueError(f"chunk={chunk} must divide max_length={max_length}")
+    cfg = model.config
+    n_chunks = max_length // chunk
+
+    @jax.jit
+    def prelude(variables, input_features):
+        encoder_hidden = model.apply(variables, input_features,
+                                     method=model.encode)
+        cross_kvs = model.apply(variables, encoder_hidden,
+                                method=model.precompute_cross_kv)
+        return encoder_hidden, cross_kvs
+
+    @jax.jit
+    def run_chunk(variables, encoder_hidden, cross_kvs, carry, start):
+        body = _decode_scan_body(model, variables, encoder_hidden,
+                                 cross_kvs, cfg)
+        carry, _ = jax.lax.scan(body, carry, start + jnp.arange(chunk))
+        return carry
+
+    def generate(variables, input_features):
+        batch = input_features.shape[0]
+        encoder_hidden, cross_kvs = prelude(variables, input_features)
+        caches = init_kv_caches(cfg, batch, max_length)
+        tokens = jnp.full((batch, max_length + 1), cfg.pad_token_id,
+                          dtype=jnp.int32)
+        tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+        carry = (tokens, caches, jnp.bool_(False), jnp.int32(0))
+        for c in range(n_chunks):
+            carry = run_chunk(variables, encoder_hidden, cross_kvs, carry,
+                              jnp.int32(c * chunk))
+            generate.chunks_run = c + 1
+            # Host fetch of the scalar done flag — the early stop itself.
+            if bool(jax.device_get(carry[2])):
+                break
+        tokens, _, _, length = carry
+        return tokens, length + 1
+
+    generate.chunks_run = 0
+    return generate

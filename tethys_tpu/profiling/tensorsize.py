@@ -119,6 +119,85 @@ def intermediate_inventory(model, params, *args, method=None, **kwargs):
     return tensor_inventory_from_tree(shapes, "activation")
 
 
+def whisper_intra_op_inventory(config, batch_size: int,
+                               enc_len: int = 1500, dec_len: int = 100,
+                               ) -> List[Tuple[str, tuple, str, int]]:
+    """Analytic census of the reference profiler's INTRA-OP track points
+    (reference whisper_dist_tensorsize.py:646-777): attention scores and
+    softmax probs ([B,H,Tq,Tkv] — the largest activations in the model),
+    the pre-merge attention output, the decoder's additive mask, and the
+    gelu output.  None of these are flax module outputs, so the
+    capture_intermediates inventory cannot see them; shapes are static
+    under jit, so they are enumerated analytically (exact, zero device
+    cost) and appended to the activation census each step.
+
+    q/k/v states are also enumerated here: WhisperAttention's fused
+    projection kernels (ops/pallas_qkv.py) produce them inside the op body,
+    so they are not module outputs either.  Reference points whose bytes the
+    module-output census already holds once (fc1/fc2 outputs, out_proj
+    output = the attention module's return, block inputs = the previous
+    module's output) are NOT repeated — see PARITY.md for the mapping."""
+    act = np.dtype(config.dtype).name if hasattr(config, "dtype") else "float32"
+    H_e, H_d = config.encoder_attention_heads, config.decoder_attention_heads
+    d_e, d_d = config.d_model // H_e, config.d_model // H_d
+    B = batch_size
+    items: List[Tuple[str, tuple, str, int]] = []
+
+    def add(name, shape, dtype):
+        items.append((name, tuple(shape), np.dtype(dtype).name,
+                      _nbytes(shape, dtype)))
+
+    def attention(prefix, heads, head_dim, t_q, t_kv, mask=False):
+        add(f"{prefix}/query_states", (B, heads, t_q, head_dim), act)
+        add(f"{prefix}/key_states", (B, heads, t_kv, head_dim), act)
+        add(f"{prefix}/value_states", (B, heads, t_kv, head_dim), act)
+        add(f"{prefix}/attention_scores", (B, heads, t_q, t_kv), act)
+        if mask:
+            # reference casts the additive mask to float32 before logging
+            add(f"{prefix}/attention_mask", (B, t_q, t_kv), "float32")
+        add(f"{prefix}/attention_probs", (B, heads, t_q, t_kv), act)
+        add(f"{prefix}/attention_output_raw", (B, heads, t_q, head_dim), act)
+
+    for i in range(config.encoder_layers):
+        attention(f"encoder/layers_{i}/self_attn", H_e, d_e, enc_len, enc_len)
+        add(f"encoder/layers_{i}/feed_forward/activation_output",
+            (B, enc_len, config.d_ff), act)
+    for i in range(config.decoder_layers):
+        attention(f"decoder/layers_{i}/self_attn", H_d, d_d, dec_len, dec_len,
+                  mask=True)
+        attention(f"decoder/layers_{i}/cross_attn", H_d, d_d, dec_len, enc_len)
+        add(f"decoder/layers_{i}/feed_forward/activation_output",
+            (B, dec_len, config.d_ff), act)
+    return items
+
+
+def wav2vec2_intra_op_inventory(config, batch_size: int, frames: int,
+                                ) -> List[Tuple[str, tuple, str, int]]:
+    """Wav2vec2-flavor intra-op census (reference
+    wav2vec2_dist_tensorsize.py attention track points): per encoder layer,
+    attention_scores and attention_probs [B,H,T,T].  q/k/v states equal the
+    q/k/v Dense outputs the module census already counts once; the
+    reference's conv/posenc/final-output points are module outputs too."""
+    act = np.dtype(config.dtype).name if hasattr(config, "dtype") else "float32"
+    H = config.num_attention_heads
+    B = batch_size
+    items: List[Tuple[str, tuple, str, int]] = []
+    for i in range(config.num_hidden_layers):
+        for point in ("attention_scores", "attention_probs"):
+            shape = (B, H, frames, frames)
+            items.append((f"encoder/layers_{i}/attention/{point}",
+                          shape, act, _nbytes(shape, act)))
+    return items
+
+
+def conv_output_length(length: int, strides) -> int:
+    """TF SAME-padding frame count through the conv stack (the feature
+    extractor's arithmetic — models/wav2vec2.py:49-85)."""
+    for s in strides:
+        length = -(-length // s)
+    return length
+
+
 def fisher_pearson_skew(values: List[float]) -> float:
     """scipy.stats.skew (bias=True) semantics in numpy."""
     arr = np.asarray(values, dtype=np.float64)

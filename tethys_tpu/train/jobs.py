@@ -256,9 +256,18 @@ def train_whisper(
         output_inv = tensor_inventory_from_tree(out_shapes, "output")
         act_inv = intermediate_inventory(
             model, params, feats, labels=labs, deterministic=True)
+        # Intra-op tensors (attention scores/probs/q/k/v, gelu) are not
+        # module outputs — enumerated analytically (reference census,
+        # whisper_dist_tensorsize.py:646-777).
+        from tethys_tpu.profiling.tensorsize import whisper_intra_op_inventory
+
+        intra_inv = whisper_intra_op_inventory(
+            config, batch_size_per_replica,
+            enc_len=data_seq_len // 2, dec_len=lab_shape[1])
         grad_inv = tensor_inventory_from_tree(params, "gradient")
         static_inventories = [
             (input_inv, "input"), (act_inv, "activation"),
+            (intra_inv, "activation"),
             (output_inv, "output"), (grad_inv, "gradient"),
         ]
         step_hooks = tuple(step_hooks) + (
@@ -460,9 +469,17 @@ def train_wav2vec2(
         output_inv = tensor_inventory_from_tree(out_shapes, "output")
         act_inv = intermediate_inventory(
             model, params, audio_sds, training=True, rngs={"dropout": rng})
+        from tethys_tpu.profiling.tensorsize import (
+            conv_output_length, wav2vec2_intra_op_inventory,
+        )
+
+        intra_inv = wav2vec2_intra_op_inventory(
+            config, batch_size_per_replica,
+            frames=conv_output_length(audio_length, config.conv_stride))
         grad_inv = tensor_inventory_from_tree(params, "gradient")
         static_inventories = [
             (input_inv, "input"), (act_inv, "activation"),
+            (intra_inv, "activation"),
             (output_inv, "output"), (grad_inv, "gradient"),
         ]
         step_hooks = tuple(step_hooks) + (
