@@ -74,14 +74,26 @@ def main() -> None:
             {"params": rng, "dropout": rng},
             features[:1, :, :64], labels=labels[:1], deterministic=True,
         )["params"]}
-    if args.force_eos:
-        bias = variables["params"]["lm_head"]["bias"]
-        variables["params"]["lm_head"]["bias"] = bias.at[
-            config.eos_token_id].set(1e4)
-
     # Init ran on host CPU; move the weights onto the chip once so the
     # timed calls don't re-transfer ~300 MB per invocation.
     variables = jax.device_put(variables, jax.devices()[0])
+
+    if args.force_eos:
+        # Global EOS at decode step 1 on random weights: make every batch
+        # row identical, probe which token the model actually emits first,
+        # and declare THAT token the EOS id (lm_head has no bias to
+        # surgically inflate — reference parity).
+        import dataclasses
+
+        from tethys_tpu.models.whisper import WhisperForConditionalGeneration
+
+        features = jnp.broadcast_to(features[:1], features.shape)
+        probe = jax.jit(lambda v, f: greedy_generate(
+            model, v, f, max_length=2))
+        toks, _ = probe(variables, features[:1])
+        first = int(jax.device_get(toks[0, 1]))
+        config = dataclasses.replace(config, eos_token_id=first)
+        model = WhisperForConditionalGeneration(config)
 
     # Params MUST be jit arguments, not closure captures: captured arrays
     # are baked into the program as literals, and on remote-compile runtimes

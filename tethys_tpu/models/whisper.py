@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from tethys_tpu.configs import WhisperConfig
 from tethys_tpu.losses import seq2seq_shifted_ce
 from tethys_tpu.ops.activations import gelu
-from tethys_tpu.ops.attention import flash_active, multi_head_attention
+from tethys_tpu.ops.attention import (
+    decode_attention,
+    flash_active,
+    multi_head_attention,
+)
 from tethys_tpu.ops.pallas_dropout import module_dropout
 from tethys_tpu.ops.pallas_qkv import merge_project, project_split
 from tethys_tpu.ops.masks import NEG_INF, causal_additive_mask
@@ -47,7 +51,8 @@ EmbedInit = lambda key, shape, dtype=jnp.float32: jax.random.uniform(  # noqa: E
     key, shape, dtype, -0.05, 0.05
 )
 
-# KV cache pytree: {"k": [B,H,max,D], "v": [B,H,max,D]} per self-attn layer.
+# KV cache pytree: {"k": [B,H,D,max], "v": [B,H,D,max]} per self-attn
+# layer (transposed — max_length minor — so decode streams full-lane rows).
 Cache = Dict[str, jax.Array]
 
 
@@ -114,10 +119,14 @@ class WhisperAttention(nn.Module):
         if kv_only:
             # Incremental-decode setup: project K/V once per generate() so
             # the per-token decode step skips 2 projections of the full
-            # [B, Tenc, E] encoder output per layer.
+            # [B, Tenc, E] encoder output per layer.  Stored TRANSPOSED
+            # ([B, H, D, Tk]): with Tk minor the cache rows are full
+            # 128-lane tiles, halving the bytes every decode step streams
+            # (head_dim 64 would otherwise pad to 128 lanes — the decode
+            # bottleneck, BASELINE.md round-4 profile).
             k, v = project_split(
                 cast(kv_source), [(*k_w, 1.0), (*v_w, 1.0)], self.num_heads)
-            return (k, v), None
+            return (jnp.swapaxes(k, 2, 3), jnp.swapaxes(v, 2, 3)), None
 
         scaling = head_dim ** -0.5
         is_self_attn = key_value_states is None and precomputed_kv is None
@@ -130,29 +139,38 @@ class WhisperAttention(nn.Module):
             (query,) = project_split(
                 cast(hidden_states), [(*q_w, scaling)], self.num_heads)
             if precomputed_kv is not None:
-                key, value = precomputed_kv
-            else:
-                key, value = project_split(
-                    cast(kv_source), [(*k_w, 1.0), (*v_w, 1.0)],
-                    self.num_heads)
+                # Serving decode step: attend against the transposed
+                # per-generate caches (deterministic, no self-KV cache).
+                attn = decode_attention(
+                    query, *precomputed_kv, kv_len=kv_len)
+                return merge_project(attn.astype(dtype), *out_w), None
+            key, value = project_split(
+                cast(kv_source), [(*k_w, 1.0), (*v_w, 1.0)],
+                self.num_heads)
 
         new_cache = None
         if cache is not None:
             # Incremental decode: write current K/V at cache_index, attend to
-            # the full buffer with positions > index masked out.
+            # the full buffer with positions > index masked out.  The caches
+            # are stored TRANSPOSED ([B, H, D, T_max], full-lane rows — same
+            # rationale as the cross caches above); the current token lands
+            # as a column write at cache_index.
             k_buf = jax.lax.dynamic_update_slice(
-                cache["k"], key.astype(cache["k"].dtype), (0, 0, cache_index, 0)
+                cache["k"], jnp.swapaxes(key, 2, 3).astype(cache["k"].dtype),
+                (0, 0, 0, cache_index)
             )
             v_buf = jax.lax.dynamic_update_slice(
-                cache["v"], value.astype(cache["v"].dtype), (0, 0, cache_index, 0)
+                cache["v"], jnp.swapaxes(value, 2, 3).astype(cache["v"].dtype),
+                (0, 0, 0, cache_index)
             )
             new_cache = {"k": k_buf, "v": v_buf}
-            max_len = k_buf.shape[2]
+            max_len = k_buf.shape[3]
             positions = jnp.arange(max_len)
             valid = positions <= cache_index  # current token included
             pos_bias = jnp.where(valid, 0.0, NEG_INF)[None, None, None, :]
             bias = pos_bias if bias is None else bias + pos_bias
-            key, value = k_buf, v_buf
+            attn = decode_attention(query, k_buf, v_buf, bias=bias)
+            return merge_project(attn.astype(dtype), *out_w), new_cache
 
         dropout_rng = None
         if not deterministic and cfg.attention_dropout > 0.0:
@@ -524,7 +542,9 @@ class WhisperForConditionalGeneration(nn.Module):
     def precompute_cross_kv(self, encoder_hidden_states: jax.Array):
         """Per-layer cross-attention (K, V) projected once per generate():
         the per-token decode step then skips 2 full-length encoder-output
-        projections per layer (12 matmuls/token at whisper-base)."""
+        projections per layer (12 matmuls/token at whisper-base).  Returned
+        TRANSPOSED ([B, H, D, Tk] per layer) so decode streams full-lane
+        cache rows — see WhisperAttention.kv_only / decode_cross_attention."""
         return self.model.decoder(
             None, encoder_hidden_states, cross_kv_only=True)
 
@@ -553,8 +573,11 @@ def create_whisper_model(model_type: str = "small", **overrides):
 
 
 def init_kv_caches(config: WhisperConfig, batch: int, max_length: int):
+    """Self-attention KV buffers, stored TRANSPOSED ([B, H, D, T_max]) so
+    the per-token decode step streams full-lane cache rows (see
+    decode_attention)."""
     head_dim = config.d_model // config.decoder_attention_heads
-    shape = (batch, config.decoder_attention_heads, max_length, head_dim)
+    shape = (batch, config.decoder_attention_heads, head_dim, max_length)
     zeros = jnp.zeros(shape, dtype=config.dtype)
     return tuple(
         {"k": zeros, "v": zeros} for _ in range(config.decoder_layers)

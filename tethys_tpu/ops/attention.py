@@ -119,3 +119,40 @@ def _xla_attention(query, key, value, bias, dropout_rate, dropout_rng,
                 keep, probs / jnp.asarray(1.0 - dropout_rate, out_dtype),
                 jnp.zeros((), out_dtype))
     return jnp.einsum("bhqk,bhkd->bhqd", probs, value)
+
+
+def decode_attention(
+    query: jax.Array,     # [B, H, Tq, D] (already scaled)
+    key_t: jax.Array,     # [B, H, D, Tk] — TRANSPOSED cache
+    value_t: jax.Array,   # [B, H, D, Tk] — TRANSPOSED cache
+    bias: Optional[jax.Array] = None,  # additive, e.g. the decode pos mask
+    kv_len: Optional[int] = None,
+) -> jax.Array:
+    """Attention for the serving decode step against TRANSPOSED K/V caches
+    (cross-attention per-generate caches AND the incremental self-KV
+    buffers).
+
+    At head_dim 64 the standard [B, H, Tk, D] cache pads its minor dim to
+    the 128-lane tile, so every decode step streams 2x the cache bytes —
+    and the per-token decode is exactly this stream (round-4 profile:
+    cross-attention K/V reads were 100.8 of 139 ms device per 128-token
+    whisper-base generate, at ~47% of HBM peak; the transposed layout
+    measured a 1.57x whole-decode speedup).  With Tk minor the rows are
+    full 1536-lane tiles (D=64 = 8 sublanes, no padding).  Numerics: same
+    contractions as `_xla_attention` (f32 scores, softmax, compute-dtype
+    probs), no dropout (serving is deterministic).
+
+    Returns [B, H, Tq, D]."""
+    out_dtype = query.dtype
+    scores = jnp.einsum("bhqd,bhdk->bhqk", query, key_t,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if kv_len is not None and kv_len < key_t.shape[3]:
+        from tethys_tpu.ops.masks import NEG_INF
+
+        col = jnp.arange(key_t.shape[3])
+        scores = jnp.where(col[None, None, None, :] < kv_len, scores,
+                           NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
+    return jnp.einsum("bhqk,bhdk->bhqd", probs, value_t)
