@@ -131,3 +131,22 @@ def test_prepare_input_features_uses_fused_kernel_on_tpu(monkeypatch):
     # kill switch
     monkeypatch.setenv("TETHYS_FUSED_LOGMEL", "0")
     assert not frontend._use_fused_kernel()
+
+
+def test_log_mel_features_high_rank_takes_xla_path(monkeypatch):
+    """ndim>=3 waveforms must NOT be routed to the fused kernel (it handles
+    1-D/2-D only — code-review finding, round 4): same API on every
+    backend, via the XLA frontend."""
+    from tethys_tpu.audio.frontend import log_mel_features
+
+    rng = np.random.default_rng(5)
+    wave = jnp.asarray(rng.standard_normal((2, 2, 8000)).astype(np.float32))
+
+    def boom(*a, **k):
+        raise AssertionError("fused path must not see ndim>=3 input")
+
+    monkeypatch.setattr(pallas_logmel, "fused_log_mel", boom)
+    monkeypatch.setattr(pallas_logmel, "_INTERPRET", True)  # "on TPU"
+    out = log_mel_features(wave)
+    want = extract_fbank_features(wave)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want))

@@ -160,3 +160,49 @@ def test_daemon_nvml_line_format(tmp_path):
     assert "GPU Util: 87" in first
     assert "Mem Util: 41" in first
     assert "Mem Usage: 6871947673" in first
+
+
+def test_per_device_probes_publish_distinct_util(tmp_path):
+    """Multi-device hosts get a probe PER device (execution queues are
+    per-chip); each metrics line publishes its own device's busy fraction,
+    not chip 0's (code-review finding, round 4)."""
+    path = str(tmp_path / "m")
+    bridge = MonitorBridge(path=path, window_s=2.0)
+    bridge._probe_map = {0: _FakeProbe([True, True]),
+                         1: _FakeProbe([False, False])}
+    for _ in range(2):
+        bridge.probe_once()
+    assert bridge._device_utilization_percent(0) == 100
+    assert bridge._device_utilization_percent(1) == 0
+    bridge.publish_once()
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].split("|")[2] == "100"
+    assert lines[1].split("|")[2] == "0"
+    # Devices beyond the probe map fall back to the host duty-cycle (0 here).
+    if len(lines) > 2:
+        assert lines[2].split("|")[2] == "0"
+
+
+def test_probe_baseline_self_corrects_downward():
+    """A probe calibrated on a busy device must pull its baseline down the
+    first time it sees a genuinely idle sample (code-review finding: the
+    one-shot calibration otherwise reports ~0%% forever)."""
+    from tethys_tpu.monitor.bridge import DeviceQueueProbe
+
+    probe = DeviceQueueProbe.__new__(DeviceQueueProbe)
+    probe.baseline_s = 0.5            # calibrated behind a running step
+    probe.threshold_s = 2.0
+    probe._fn = lambda x: 0.0
+    probe._x = 0.0
+
+    import tethys_tpu.monitor.bridge as bridge_mod
+    orig = bridge_mod.time.perf_counter
+    seq = iter([0.0, 0.001, 0.010, 0.020])
+    bridge_mod.time.perf_counter = lambda: next(seq)
+    try:
+        assert probe.sample_busy() is False   # 1 ms — pulls baseline down
+        assert probe.baseline_s == pytest.approx(0.001)
+        assert probe.threshold_s == pytest.approx(0.004)
+        assert probe.sample_busy() is True    # 10 ms > new 4 ms threshold
+    finally:
+        bridge_mod.time.perf_counter = orig

@@ -120,8 +120,9 @@ def log_mel_features(waveform: jax.Array, sample_rate: int = 16000,
     """[..., T] -> [..., F, n_mels]: the fused single-kernel path on TPU
     (audio/pallas_logmel.py — windowed DFT, power, mel, log in one pass),
     the XLA frontend elsewhere.  Same numerics contract (goldens in
-    tests/test_audio.py)."""
-    if _use_fused_kernel():
+    tests/test_audio.py).  The fused kernel handles 1-D/2-D waveforms;
+    higher-rank inputs take the XLA path on every backend."""
+    if waveform.ndim <= 2 and _use_fused_kernel():
         from tethys_tpu.audio.pallas_logmel import fused_log_mel
 
         return fused_log_mel(waveform, sample_rate, n_mels, n_fft, hop_length)

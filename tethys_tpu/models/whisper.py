@@ -142,7 +142,7 @@ class WhisperAttention(nn.Module):
                 # Serving decode step: attend against the transposed
                 # per-generate caches (deterministic, no self-KV cache).
                 attn = decode_attention(
-                    query, *precomputed_kv, kv_len=kv_len)
+                    query, *precomputed_kv, bias=bias, kv_len=kv_len)
                 return merge_project(attn.astype(dtype), *out_w), None
             key, value = project_split(
                 cast(kv_source), [(*k_w, 1.0), (*v_w, 1.0)],

@@ -51,10 +51,10 @@ class DeviceQueueProbe:
     "busy" when its completion latency clearly exceeds that baseline —
     i.e. the probe had to wait behind queued device work."""
 
-    def __init__(self, n_calibrate: int = 7):
+    def __init__(self, device=None, n_calibrate: int = 7):
         import jax
 
-        self._device = jax.local_devices()[0]
+        self._device = device if device is not None else jax.local_devices()[0]
         self._x = jax.device_put(0.0, self._device)
         self._fn = jax.jit(lambda x: x + 1.0)
         # A HOST FETCH, not block_until_ready: on async runtimes (incl. the
@@ -75,7 +75,16 @@ class DeviceQueueProbe:
     def sample_busy(self) -> bool:
         t0 = time.perf_counter()
         float(self._fn(self._x))
-        return (time.perf_counter() - t0) > self.threshold_s
+        dt = time.perf_counter() - t0
+        # Self-correcting baseline: the true idle floor is the MINIMUM
+        # latency ever observed.  A bridge started on an already-busy
+        # device calibrates high (every probe would read "idle" forever);
+        # the first genuinely idle probe pulls the baseline and threshold
+        # back down.
+        if dt < self.baseline_s:
+            self.baseline_s = dt
+            self.threshold_s = max(4.0 * dt, dt + 3e-3)
+        return dt > self.threshold_s
 
 
 class MonitorBridge:
@@ -85,8 +94,12 @@ class MonitorBridge:
         self.interval_s = interval_s
         self.window_s = window_s
         self._busy: List[Tuple[float, float]] = []  # (end_time, duration)
-        self._probes: List[Tuple[float, bool]] = []  # (time, busy)
-        self._probe = probe
+        # Probe sample windows keyed by local-device index; the key None is
+        # the SHARED window used when a single probe object was injected
+        # (tests) — its value is then published for every device line.
+        self._probes: dict = {}  # key -> List[(time, busy)]
+        self._probe_map: dict = {None: probe} if probe is not None else {}
+        self._probe = probe  # injected single probe (tests) or None
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -106,39 +119,53 @@ class MonitorBridge:
     # -- device probe ----------------------------------------------------
 
     def _maybe_init_probe(self) -> None:
-        if self._probe is not None:
+        if self._probe_map:
             return
         if os.environ.get("TETHYS_DEVICE_PROBE", "1") == "0":
             return
+        # One probe PER local device: execution queues are per-chip, so a
+        # single chip-0 probe published on every line would report wrong
+        # utilization for chips 1..N-1 on multi-device hosts.
         try:
-            self._probe = DeviceQueueProbe()
+            import jax
+
+            self._probe_map = {
+                i: DeviceQueueProbe(dev)
+                for i, dev in enumerate(jax.local_devices())
+            }
         except Exception as e:  # noqa: BLE001 — fall back to host duty-cycle
             print(f"monitor device probe unavailable: {e}")
-            self._probe = None
+            self._probe_map = {}
 
     def probe_once(self) -> None:
-        """Take one device-busy sample into the sliding window."""
-        if self._probe is None:
-            return
-        try:
-            busy = self._probe.sample_busy()
-        except Exception:  # noqa: BLE001
-            return
-        with self._lock:
-            now = time.time()
-            self._probes.append((now, busy))
-            cutoff = now - self.window_s
-            self._probes = [(t, b) for t, b in self._probes if t >= cutoff]
+        """Take one device-busy sample per probe into its sliding window."""
+        for key, probe in list(self._probe_map.items()):
+            try:
+                busy = probe.sample_busy()
+            except Exception:  # noqa: BLE001
+                continue
+            with self._lock:
+                now = time.time()
+                window = self._probes.setdefault(key, [])
+                window.append((now, busy))
+                cutoff = now - self.window_s
+                self._probes[key] = [(t, b) for t, b in window if t >= cutoff]
 
-    def _device_utilization_percent(self) -> Optional[int]:
-        """Busy-probe fraction over the window; None when no samples."""
+    def _device_utilization_percent(self, idx: int = 0) -> Optional[int]:
+        """Busy-probe fraction over device idx's window (falling back to
+        the shared injected-probe window); None when no samples."""
         with self._lock:
             cutoff = time.time() - self.window_s
-            self._probes = [(t, b) for t, b in self._probes if t >= cutoff]
-            if not self._probes:
+            window = self._probes.get(idx)
+            if window is None:
+                window = self._probes.get(None)
+            if not window:
                 return None
-            busy = sum(1 for _, b in self._probes if b)
-            return int(round(100.0 * busy / len(self._probes)))
+            window[:] = [(t, b) for t, b in window if t >= cutoff]
+            if not window:
+                return None
+            busy = sum(1 for _, b in window if b)
+            return int(round(100.0 * busy / len(window)))
 
     def _host_duty_percent(self) -> int:
         """Host duty-cycle over the sliding window.  Stale entries are
@@ -152,8 +179,8 @@ class MonitorBridge:
             busy = sum(d for _, d in self._busy)
         return max(0, min(100, int(round(100.0 * busy / self.window_s))))
 
-    def _utilization_percent(self) -> int:
-        device = self._device_utilization_percent()
+    def _utilization_percent(self, idx: int = 0) -> int:
+        device = self._device_utilization_percent(idx)
         return device if device is not None else self._host_duty_percent()
 
     # -- publisher ------------------------------------------------------
@@ -161,10 +188,10 @@ class MonitorBridge:
     def _device_lines(self) -> List[str]:
         import jax
 
-        util = self._utilization_percent()
         host_duty = self._host_duty_percent()
         lines = []
         for i, dev in enumerate(jax.local_devices()):
+            util = self._utilization_percent(i)
             mem_bytes = 0
             mem_util = 0
             try:

@@ -75,6 +75,44 @@ def wav2vec2_optimizer(learning_rate: float = 3e-5) -> optax.GradientTransformat
     )
 
 
+
+def scan_grad_accum(vg_fn, params, batch, rng, grad_accum):
+    """Gradient accumulation as ONE lax.scan over equal-size microbatches —
+    the shared contract for the DP/TP/SP replica body and the PP tick
+    (keeping the two in lockstep; they previously duplicated this block).
+
+    vg_fn(params, microbatch, mb_rng) -> ((loss, aux), grads).  Every leaf
+    of `batch` is reshaped [(N, lead/N, ...)]; chunk i runs with
+    fold_in(rng, i).  Returns (mean_loss, mean_grads, aux-mean-over-chunks)
+    — equal to the unaccumulated step when the loss is a per-sample mean.
+    Raises when the leading dim is not divisible by grad_accum."""
+    lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if lead % grad_accum:
+        raise ValueError(
+            f"per-replica batch {lead} is not divisible by "
+            f"grad_accum={grad_accum}")
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape(
+            (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]),
+        batch)
+
+    def accum_body(carry, xs):
+        mb, i = xs
+        (l, a), g = vg_fn(params, mb, jax.random.fold_in(rng, i))
+        acc_l, acc_g = carry
+        return (acc_l + l,
+                jax.tree_util.tree_map(jnp.add, acc_g, g)), a
+
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (sum_l, sum_g), auxs = jax.lax.scan(
+        accum_body, (jnp.zeros((), jnp.float32), zero_g),
+        (micro, jnp.arange(grad_accum)))
+    mean_loss = sum_l / grad_accum
+    grads = jax.tree_util.tree_map(lambda g: g / grad_accum, sum_g)
+    aux = jax.tree_util.tree_map(lambda x: x.mean(0), auxs)
+    return mean_loss, grads, aux
+
+
 def make_train_step(
     loss_fn: LossFn,
     optimizer: optax.GradientTransformation,
@@ -169,34 +207,8 @@ def make_train_step(
                     lambda p: loss_fn(p, mb, mb_rng), has_aux=True)(params)
 
         if grad_accum > 1:
-            lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
-            if lead % grad_accum:
-                raise ValueError(
-                    f"per-replica batch {lead} is not divisible by "
-                    f"grad_accum={grad_accum}")
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape(
-                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]),
-                batch)
-
-            def accum_body(carry, xs):
-                mb, i = xs
-                (l, a), g = vg_fn(state.params, mb,
-                                  jax.random.fold_in(rng, i))
-                acc_l, acc_g = carry
-                return (acc_l + l,
-                        jax.tree_util.tree_map(jnp.add, acc_g, g)), a
-
-            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (sum_l, sum_g), auxs = jax.lax.scan(
-                accum_body, (jnp.zeros((), jnp.float32), zero_g),
-                (micro, jnp.arange(grad_accum)))
-            # Per-replica loss/grads = mean over the equal-size microbatches
-            # (≡ the unaccumulated step when the loss is a per-sample mean).
-            local_loss = sum_l / grad_accum
-            grads = jax.tree_util.tree_map(
-                lambda g: g / grad_accum, sum_g)
-            aux = jax.tree_util.tree_map(lambda x: x.mean(0), auxs)
+            local_loss, grads, aux = scan_grad_accum(
+                vg_fn, state.params, batch, rng, grad_accum)
         else:
             (local_loss, aux), grads = vg_fn(state.params, batch, rng)
         if hardened:

@@ -54,6 +54,7 @@ from tethys_tpu.ops.activations import gelu
 from tethys_tpu.ops.attention import flash_active
 from tethys_tpu.ops.posenc import sinusoidal_table
 from tethys_tpu.parallel.dp import TrainState
+from tethys_tpu.parallel import dp
 from tethys_tpu.parallel.mesh import place_tree
 
 
@@ -265,30 +266,11 @@ def make_pp_train_step(
                 has_aux=True)(params)
 
         if grad_accum > 1:
-            lead = features.shape[0]
-            if lead % grad_accum:
-                raise ValueError(
-                    f"local batch {lead} is not divisible by "
-                    f"grad_accum={grad_accum}")
-            chunk = lead // grad_accum
-            cf = features.reshape((grad_accum, chunk) + features.shape[1:])
-            cl = labels.reshape((grad_accum, chunk) + labels.shape[1:])
-
-            def accum_body(carry, xs):
-                f, l, i = xs
-                (lv, _), g = vg(state.params, f, l,
-                                jax.random.fold_in(rng, i))
-                acc_l, acc_g = carry
-                return (acc_l + lv,
-                        jax.tree_util.tree_map(jnp.add, acc_g, g)), None
-
-            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (sum_l, sum_g), _ = jax.lax.scan(
-                accum_body, (jnp.zeros((), jnp.float32), zero_g),
-                (cf, cl, jnp.arange(grad_accum)))
-            # Mean over the equal-size chunks — dp.make_train_step contract.
-            local_loss = sum_l / grad_accum
-            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, sum_g)
+            # Mean over equal-size chunks — dp.make_train_step's shared
+            # accumulation contract (dp.scan_grad_accum).
+            local_loss, grads, _ = dp.scan_grad_accum(
+                lambda p, mb, r: vg(p, mb[0], mb[1], r),
+                state.params, (features, labels), rng, grad_accum)
         else:
             (local_loss, _), grads = vg(state.params, features, labels, rng)
         grads = {"other": jax.lax.psum(grads["other"], "stage"),

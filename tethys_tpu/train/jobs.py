@@ -263,7 +263,9 @@ def train_whisper(
 
         intra_inv = whisper_intra_op_inventory(
             config, batch_size_per_replica,
-            enc_len=data_seq_len // 2, dec_len=lab_shape[1])
+            # ceil-div: the stride-2 SAME conv's frame count (matches the
+            # model for odd data_seq_len too)
+            enc_len=-(-data_seq_len // 2), dec_len=lab_shape[1])
         grad_inv = tensor_inventory_from_tree(params, "gradient")
         static_inventories = [
             (input_inv, "input"), (act_inv, "activation"),

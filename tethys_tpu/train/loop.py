@@ -40,6 +40,18 @@ class TrainLoopResult(NamedTuple):
     total_steps: int
 
 
+class _PendingFetchError(Exception):
+    """A pipelined loss fetch failed: the DEVICE computation of step `idx`
+    (dispatched one iteration earlier) raised when materialized.  Carries
+    the true step index so the resilient handler attributes the error to
+    the step that failed, not the one being dispatched."""
+
+    def __init__(self, idx: int, cause: BaseException):
+        super().__init__(f"step {idx}: {cause}")
+        self.idx = idx
+        self.cause = cause
+
+
 def run_training(
     step_fn: Callable,               # (state, batch, rng) -> (state, loss)
     dataset: Iterable,               # yields numpy batch tuples
@@ -65,15 +77,34 @@ def run_training(
     last_ready = start_time
 
     def flush_pending():
-        """Materialize + print the pending step's loss (blocks until that
-        step's device work is done — by then the NEXT step is usually
-        already running)."""
-        nonlocal pending, last_ready
-        if pending is None:
+        nonlocal pending
+        entry, pending = pending, None
+        flush_entry(entry)
+
+    def final_flush():
+        """Epoch-end / loop-end flush: unwrap the pipelined fetch error so
+        non-resilient callers see the original exception; resilient loops
+        log it like any other per-step failure."""
+        try:
+            flush_pending()
+        except _PendingFetchError as e:
+            if not resilient:
+                raise e.cause
+            print(f"Error at step {e.idx}: {e.cause}")
+
+    def flush_entry(entry):
+        """Materialize + print one step's loss (blocks until that step's
+        device work is done — by then the NEXT step is usually already
+        running).  A device-side failure surfaces here as
+        _PendingFetchError carrying the step's own index."""
+        nonlocal last_ready
+        if entry is None:
             return
-        idx, loss, aux, p_start = pending
-        pending = None
-        loss_value = float(jax.device_get(loss))
+        idx, loss, aux, p_start = entry
+        try:
+            loss_value = float(jax.device_get(loss))
+        except Exception as e:  # noqa: BLE001 — poisoned device result
+            raise _PendingFetchError(idx, e) from e
         now = time.time()
         # Ready-to-ready in the pipelined steady state (≈ device step time);
         # anchored at dispatch start after a gap (checkpoint, epoch turn).
@@ -110,10 +141,14 @@ def run_training(
                     state, loss, aux = outputs
                 else:
                     (state, loss), aux = outputs, None
-                flush_pending()          # step-(i-1) fetch overlaps step i
-                pending = (step, loss, aux, step_start)
+                # Register step i FIRST, then block on step i-1: if the
+                # i-1 fetch raises, step i's handle stays in the pipeline
+                # (its line/hooks are flushed next iteration or error on
+                # their own).
+                prev, pending = pending, (step, loss, aux, step_start)
                 step += 1
                 it += 1
+                flush_entry(prev)        # step-(i-1) fetch overlaps step i
 
                 if (
                     checkpoint_manager is not None
@@ -122,6 +157,15 @@ def run_training(
                 ):
                     flush_pending()      # keep stdout order vs ckpt messages
                     checkpoint_manager.save(f"{checkpoint_tag}_step_{step}", state)
+            except _PendingFetchError as e:
+                if not resilient:
+                    raise e.cause
+                # Attributed to the step whose DEVICE computation failed
+                # (one behind the dispatch counter); counters were already
+                # advanced when that step dispatched.
+                print(f"Error at step {e.idx}: {e.cause}")
+                iterator = iter(dataset)
+                continue
             except Exception as e:  # noqa: BLE001
                 if not resilient:
                     raise
@@ -129,8 +173,9 @@ def run_training(
                 try:
                     # A dispatch-time error leaves the previous (pending)
                     # step valid — print its line before the error line.
-                    # A fetch-time error already cleared `pending`.
                     flush_pending()
+                except _PendingFetchError as pe:
+                    print(f"Error at step {pe.idx}: {pe.cause}")
                 except Exception:  # noqa: BLE001 — poisoned loss handle
                     pending = None
                 print(f"Error at step {failed}: {e}")
@@ -138,12 +183,12 @@ def run_training(
                 it += 1
                 continue
 
-        flush_pending()                  # epoch's last line before any epilogue
+        final_flush()                    # epoch's last line before any epilogue
         if checkpoint_manager is not None:
             tag = epoch_checkpoint_tag or checkpoint_tag
             checkpoint_manager.save(f"{tag}_epoch_{epoch+1}", state)
 
-    flush_pending()
+    final_flush()
     return TrainLoopResult(state, losses, step_times, step)
 
 
