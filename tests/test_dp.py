@@ -197,3 +197,25 @@ def test_grad_accum_rejects_indivisible_batch():
 
     with pytest.raises(ValueError, match="not divisible"):
         step(state, batch, jax.random.PRNGKey(0))
+
+
+def test_scan_grad_accum_accumulates_in_f32_under_bf16_params():
+    """bf16 master params must not round the microbatch gradient sum (the
+    running bf16 sum loses adds below its ~8-bit mantissa — code-review
+    finding, round 4).  Chunk grads [256, 1, 1, ..., 1]: a bf16 accumulator
+    absorbs every +1 into 256; the f32 accumulator must not."""
+    from tethys_tpu.parallel.dp import scan_grad_accum
+
+    params = {"w": jnp.zeros((1,), jnp.bfloat16)}
+    batch = jnp.arange(8, dtype=jnp.float32)[:, None]  # lead dim 8
+
+    def vg_fn(p, mb, rng):
+        g = jnp.where(mb[0, 0] == 0, 256.0, 1.0).astype(jnp.bfloat16)
+        return (jnp.float32(0.0), {}), {"w": g[None]}
+
+    loss, grads, _ = scan_grad_accum(vg_fn, params, batch,
+                                     jax.random.PRNGKey(0), grad_accum=8)
+    # f32 sum = 263, mean = 32.875 -> bf16 result 32.75; a bf16 running sum
+    # would have produced 256 / 8 = 32.0 exactly.
+    assert grads["w"].dtype == jnp.bfloat16
+    assert float(grads["w"][0]) > 32.5

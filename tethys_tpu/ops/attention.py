@@ -60,6 +60,13 @@ def multi_head_attention(
     kv_len: Optional[int] = None,  # true KV length when key/value are padded
 ) -> jax.Array:
     """Returns [B, H, Tq, D] attention output."""
+    if not deterministic and dropout_rate > 0.0 and dropout_rng is None:
+        # Fail identically on every backend: the flash path would silently
+        # train with attention dropout OFF while the XLA path crashed in
+        # jax.random.bernoulli — masking the bug exactly on TPU.
+        raise ValueError(
+            "multi_head_attention: dropout_rate > 0 with "
+            "deterministic=False requires dropout_rng")
     if flash_active(use_flash, query.shape[2], key.shape[2]):
         from tethys_tpu.ops import pallas_attention
 

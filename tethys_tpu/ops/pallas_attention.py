@@ -592,7 +592,10 @@ def _bwd4(q, k, v, o, lse, do, seed_arr, *, dropout_rate: float, kv_len: int):
     v3, _ = _pad_rows(v.reshape(b * h, tk, d), bk)
     lse3 = lse.reshape(b * h, 8, tq)
     if q3.shape[1] != tq:
-        # padded q rows: keep their p = exp(s - lse) at exactly 0
+        # Padded q rows get a harmless finite lse (p = exp(s - 1) is NOT
+        # zero, ~0.37/column); their gradients still vanish because the
+        # padded do/delta rows are zero (ds = p*(0-0), dv += p^T @ 0).
+        # Do not reuse these p values for anything but zero-do rows.
         lse3 = _pad_to(lse3, q3.shape[1], 2)
         lse3 = jnp.where(
             jnp.arange(q3.shape[1])[None, None, :] < tq, lse3, 1.0)

@@ -52,7 +52,13 @@ def _row_block(rows: int, cols: int) -> int:
 def _run(x2d, seed_arr, rate):
     kernel = functools.partial(_kernel, rate=rate)
     rows, cols = x2d.shape
-    block_rows = _row_block(rows, cols) or min(rows, BLOCK_ROWS)
+    block_rows = _row_block(rows, cols)
+    if not block_rows:
+        # Callers (fused_dropout) pre-guard on _row_block; a non-dividing
+        # fallback block here would leave the trailing rows of the pallas
+        # output UNWRITTEN — garbage activations with no error.  Fail loud.
+        raise ValueError(
+            f"fused dropout needs a multiple-of-8 divisor of rows={rows}")
     grid = (rows // block_rows,)
     return pl.pallas_call(
         kernel,
@@ -66,13 +72,6 @@ def _run(x2d, seed_arr, rate):
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
         interpret=_INTERPRET,
     )(seed_arr, x2d)
-
-
-def _dropout2d_local(x2d, seed_arr, rate: float):
-    """Per-shard kernel application (the mask depends on the local block
-    layout, so fwd/bwd must see identically-laid-out shards — guaranteed by
-    the force-replicate partitioning below)."""
-    return _run(x2d, seed_arr, rate)
 
 
 @functools.lru_cache(maxsize=None)

@@ -162,7 +162,7 @@ def _project_split(x, kernels, biases, scales, num_heads):
 
 def _project_split_fwd(x, kernels, biases, scales, num_heads):
     ys = _project_split_call(x, kernels, biases, scales, num_heads)
-    return tuple(ys), (x, tuple(kernels))
+    return tuple(ys), (x, tuple(kernels), tuple(biases))
 
 
 def _project_split_bwd(scales, num_heads, res, dys):
@@ -172,12 +172,12 @@ def _project_split_bwd(scales, num_heads, res, dys):
     # transposes, the exact slow path these kernels exist to avoid.
     from tethys_tpu.ops.pallas_transpose import merge_heads
 
-    x, kernels = res
+    x, kernels, biases = res
     b, t, e_in = x.shape
     x2 = x.reshape(b * t, e_in)
     dx = None
     dks, dbs = [], []
-    for kern, dy, scale in zip(kernels, dys, scales):
+    for kern, dy, scale, bias in zip(kernels, dys, scales, biases):
         dm = merge_heads(dy)                       # [B, T, E_out]
         if scale != 1.0:
             dm = dm * scale
@@ -186,7 +186,10 @@ def _project_split_bwd(scales, num_heads, res, dys):
         dx = term if dx is None else dx + term
         dk = jnp.dot(x2.T, dm2, preferred_element_type=jnp.float32)
         dks.append(dk.astype(kern.dtype))
-        dbs.append(dm2.sum(axis=0).astype(jnp.float32))
+        # Cotangent dtypes must match the params (bf16 master params would
+        # otherwise get f32 bias grads, retracing the donated step and
+        # diverging from the unfused fallback's gradient dtypes).
+        dbs.append(dm2.sum(axis=0).astype(bias.dtype))
     return dx, tuple(dks), tuple(dbs)
 
 
@@ -274,7 +277,7 @@ def _merge_project(attn, kernel, bias):
 
 
 def _merge_project_fwd(attn, kernel, bias):
-    return _merge_project_call(attn, kernel, bias), (attn, kernel)
+    return _merge_project_call(attn, kernel, bias), (attn, kernel, bias)
 
 
 def _merge_project_bwd(res, dy):
@@ -282,7 +285,7 @@ def _merge_project_bwd(res, dy):
     # full-width matmuls instead of layout-forcing einsums.
     from tethys_tpu.ops.pallas_transpose import merge_heads, split_heads
 
-    attn, kernel = res
+    attn, kernel, bias = res
     b, num_heads, t, head_dim = attn.shape
     dmerged = jnp.dot(dy, kernel.astype(dy.dtype).T)     # [B, T, H*d]
     dattn = split_heads(dmerged, num_heads)
@@ -290,7 +293,7 @@ def _merge_project_bwd(res, dy):
     dk = jnp.dot(am.T, dy.reshape(b * t, -1),
                  preferred_element_type=jnp.float32)
     return (dattn, dk.astype(kernel.dtype),
-            dy.sum(axis=(0, 1)).astype(jnp.float32))
+            dy.sum(axis=(0, 1)).astype(bias.dtype))
 
 
 _merge_project.defvjp(_merge_project_fwd, _merge_project_bwd)

@@ -100,15 +100,22 @@ def scan_grad_accum(vg_fn, params, batch, rng, grad_accum):
         mb, i = xs
         (l, a), g = vg_fn(params, mb, jax.random.fold_in(rng, i))
         acc_l, acc_g = carry
+        # Accumulate in f32 regardless of param dtype: under bf16 master
+        # params a bf16 running sum rounds every add to ~8 mantissa bits
+        # and the mean diverges from the unaccumulated step this function
+        # promises to equal.  One cast back at the end.
         return (acc_l + l,
-                jax.tree_util.tree_map(jnp.add, acc_g, g)), a
+                jax.tree_util.tree_map(
+                    lambda acc, x: acc + x.astype(jnp.float32), acc_g, g)), a
 
-    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zero_g = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), params)
     (sum_l, sum_g), auxs = jax.lax.scan(
         accum_body, (jnp.zeros((), jnp.float32), zero_g),
         (micro, jnp.arange(grad_accum)))
     mean_loss = sum_l / grad_accum
-    grads = jax.tree_util.tree_map(lambda g: g / grad_accum, sum_g)
+    grads = jax.tree_util.tree_map(
+        lambda g, p: (g / grad_accum).astype(p.dtype), sum_g, params)
     aux = jax.tree_util.tree_map(lambda x: x.mean(0), auxs)
     return mean_loss, grads, aux
 

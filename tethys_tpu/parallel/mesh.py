@@ -63,13 +63,22 @@ def cluster_spec_from_tf_config(tf_config: dict) -> Optional[Tuple[str, int, int
     sample_tfjobs/whisper-dist.yaml declares CHIEF + WORKER replicas).
     """
     cluster = tf_config.get("cluster", {})
-    hosts = list(cluster.get("chief", [])) + list(cluster.get("worker", []))
+    # Process-id space covers EVERY task type, in a deterministic order
+    # (chief first, then the rest sorted) — a type outside {chief, worker}
+    # (evaluator, ps) must get its own id range, not collide with worker 0,
+    # or the jax.distributed rendezvous sees duplicate ids and hangs.
+    types = sorted(cluster.keys(), key=lambda t: (t != "chief", t))
+    hosts = [h for t in types for h in cluster.get(t, [])]
     if len(hosts) <= 1:
         return None
     task = tf_config.get("task", {})
     task_type = task.get("type") or "worker"
     task_index = int(task.get("index") or 0)
-    offset = 0 if task_type == "chief" else len(cluster.get("chief", []))
+    offset = 0
+    for t in types:
+        if t == task_type:
+            break
+        offset += len(cluster.get(t, []))
     return hosts[0], len(hosts), offset + task_index
 
 

@@ -62,6 +62,12 @@ def make_pp_mesh(num_devices: Optional[int] = None,
                  pipeline_parallel: int = 2) -> Mesh:
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"(platform={devices[0].platform if devices else 'none'})"
+            )
         devices = devices[:num_devices]
     n = len(devices)
     if n % pipeline_parallel != 0:

@@ -43,6 +43,12 @@ def make_2d_mesh(num_devices: Optional[int] = None,
                  model_parallel: int = 2) -> Mesh:
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"(platform={devices[0].platform if devices else 'none'})"
+            )
         devices = devices[:num_devices]
     n = len(devices)
     if n % model_parallel != 0:
@@ -106,15 +112,9 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    specs = {}
-    for path, leaf in flat:
-        specs[tuple(str(getattr(k, "key", k)) for k in path)] = _spec_for(
-            tuple(getattr(k, "key", str(k)) for k in path), leaf)
-
     def lookup(path, leaf):
         key = tuple(str(getattr(k, "key", k)) for k in path)
-        return NamedSharding(mesh, specs[key])
+        return NamedSharding(mesh, _spec_for(key, leaf))
 
     return jax.tree_util.tree_map_with_path(lookup, params)
 
