@@ -47,7 +47,18 @@ def main() -> None:
                    help="bias the lm_head so EOS always wins (global EOS "
                         "at decode step 1) — demonstrates early-stop "
                         "savings on random weights")
+    p.add_argument("--kv_quant", default="none", choices=["none", "int8"],
+                   help="quantize the per-generate cross-KV caches (int8 + "
+                        "per-column f32 scales) — halves the dominant decode "
+                        "HBM stream; tokens may differ in near-tie argmax "
+                        "steps (ops/pallas_decode.py)")
+    p.add_argument("--no_fused_decode", action="store_true",
+                   help="A/B switch: disable the fused self-attention + "
+                        "cache-append pallas kernel (ops/pallas_decode.py) "
+                        "and run the unfused DUS + decode_attention path")
     args = p.parse_args()
+    if args.no_fused_decode:
+        os.environ["TETHYS_FUSED_DECODE"] = "0"
 
     from tethys_tpu.utils.device import enable_host_cpu, host_cpu_context
 
@@ -61,7 +72,8 @@ def main() -> None:
 
     from tethys_tpu.models.whisper import create_whisper_model, greedy_generate
 
-    model, config = create_whisper_model(args.model, compute_dtype=args.dtype)
+    model, config = create_whisper_model(args.model, compute_dtype=args.dtype,
+                                         kv_quant=args.kv_quant)
     rng = jax.random.PRNGKey(0)
     np_rng = np.random.default_rng(0)
     features = jnp.asarray(np_rng.standard_normal(
@@ -158,6 +170,7 @@ def main() -> None:
         "batch_size": args.batch_size,
         "decode_len": n_decoded,
         "dtype": args.dtype,
+        **({"kv_quant": args.kv_quant} if args.kv_quant != "none" else {}),
         "backend": jax.default_backend(),
         **({"host_chunk": args.host_chunk,
             "chunks_run": getattr(gen, "chunks_run", None)}

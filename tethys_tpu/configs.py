@@ -86,6 +86,13 @@ class WhisperConfig:
     # kernel during recompute: ~32 MB/layer at whisper-large b8 for ~1/3 of
     # the flash kernel time back.  "none" recomputes everything.
     remat_policy: str = "save_flash"
+    # Serving: quantize the per-generate cross-attention KV caches.  "none"
+    # keeps them in compute dtype; "int8" stores int8 values + one f32 scale
+    # per cache column (per encoder position, per head) and decodes through
+    # the quantized pallas kernel — halves the dominant decode HBM stream
+    # (ops/pallas_decode.py).  Opt-in: greedy tokens can differ from the
+    # full-precision cache in near-tie argmax steps.
+    kv_quant: str = "none"
 
     @property
     def dtype(self):

@@ -126,7 +126,16 @@ class WhisperAttention(nn.Module):
             # bottleneck, BASELINE.md round-4 profile).
             k, v = project_split(
                 cast(kv_source), [(*k_w, 1.0), (*v_w, 1.0)], self.num_heads)
-            return (jnp.swapaxes(k, 2, 3), jnp.swapaxes(v, 2, 3)), None
+            k_t, v_t = jnp.swapaxes(k, 2, 3), jnp.swapaxes(v, 2, 3)
+            if cfg.kv_quant == "int8":
+                # Serving extension: int8 cache + per-column f32 scales
+                # halves the dominant decode HBM stream (pallas_decode.py).
+                from tethys_tpu.ops.pallas_decode import quantize_kv_cols
+
+                k8, sk = quantize_kv_cols(k_t)
+                v8, sv = quantize_kv_cols(v_t)
+                return (k8, sk, v8, sv), None
+            return (k_t, v_t), None
 
         scaling = head_dim ** -0.5
         is_self_attn = key_value_states is None and precomputed_kv is None
@@ -141,8 +150,19 @@ class WhisperAttention(nn.Module):
             if precomputed_kv is not None:
                 # Serving decode step: attend against the transposed
                 # per-generate caches (deterministic, no self-KV cache).
-                attn = decode_attention(
-                    query, *precomputed_kv, bias=bias, kv_len=kv_len)
+                if len(precomputed_kv) == 4:  # int8 cache: (k8, sk, v8, sv)
+                    if bias is not None:
+                        raise ValueError(
+                            "int8 cross-KV decode carries no attention bias")
+                    from tethys_tpu.ops.pallas_decode import (
+                        decode_cross_attention_q8,
+                    )
+
+                    attn = decode_cross_attention_q8(
+                        query, *precomputed_kv, kv_len=kv_len)
+                else:
+                    attn = decode_attention(
+                        query, *precomputed_kv, bias=bias, kv_len=kv_len)
                 return merge_project(attn.astype(dtype), *out_w), None
             key, value = project_split(
                 cast(kv_source), [(*k_w, 1.0), (*v_w, 1.0)],
@@ -155,6 +175,20 @@ class WhisperAttention(nn.Module):
             # are stored TRANSPOSED ([B, H, D, T_max], full-lane rows — same
             # rationale as the cross caches above); the current token lands
             # as a column write at cache_index.
+            if bias is None and query.shape[2] == 1:
+                # The standard decode step: one fused pallas kernel appends
+                # the column IN PLACE and attends from the same VMEM-resident
+                # slabs — the unfused column DUS below is a read-modify-write
+                # of the whole buffer (T_max minor puts the column in every
+                # vreg), i.e. 3x the cache bytes per token vs the kernel's 2x
+                # (ops/pallas_decode.py; falls back to this exact composition
+                # off-TPU).
+                from tethys_tpu.ops.pallas_decode import decode_self_attention
+
+                attn, k_buf, v_buf = decode_self_attention(
+                    query, key, value, cache["k"], cache["v"], cache_index)
+                return (merge_project(attn.astype(dtype), *out_w),
+                        {"k": k_buf, "v": v_buf})
             k_buf = jax.lax.dynamic_update_slice(
                 cache["k"], jnp.swapaxes(key, 2, 3).astype(cache["k"].dtype),
                 (0, 0, 0, cache_index)
