@@ -216,3 +216,76 @@ def test_greedy_generate_kv_quant_int8_runs():
     # seed, so the first emitted token must agree.
     np.testing.assert_array_equal(np.asarray(quant[:, 1]),
                                   np.asarray(plain[:, 1]))
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning of the decode kernels (multi-chip serving composition).
+# DP shards the generate batch and TP shards heads (test_tp.py pins the
+# whole-model token identity); these pin the kernel-level rules: sharded ==
+# unsharded numerics AND the caches keep their (batch, head) sharding — no
+# replication round-trip in the decode scan.
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+def _mesh42():
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+
+
+def test_fused_self_partitioned_batch_heads():
+    mesh = _mesh42()
+    b, h, d, t, idx = 4, 8, 32, 64, 9
+    args = _make(jax.random.PRNGKey(7), b, h, d, t, jnp.float32, idx)
+    i = jnp.asarray(idx, jnp.int32)
+    out_ref, k_ref, v_ref = pd._xla_reference(*args, i)
+
+    spec = P("data", "model", None, None)
+    sharded = [jax.device_put(x, NamedSharding(mesh, spec)) for x in args]
+    fn = jax.jit(lambda i, *a: pd.decode_self_attention(*a, index=i))
+    out, k_o, v_o = fn(i, *sharded)
+    np.testing.assert_array_equal(np.asarray(k_o), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_o), np.asarray(v_ref))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-6, rtol=1e-6)
+    # Cache outputs stay (batch, head)-sharded: local shards are [1, 4, d, t].
+    assert {s.data.shape for s in k_o.addressable_shards} == {(1, 4, d, t)}
+    assert {s.data.shape for s in out.addressable_shards} == {(1, 4, 1, d)}
+
+
+def test_fused_self_replication_fallback_on_cache_axis():
+    """Sharding the cache-length axis is NOT supported by the kernel rules —
+    the partitioner must fall back to full replication and stay correct."""
+    mesh = _mesh42()
+    b, h, d, t, idx = 4, 8, 32, 64, 3
+    args = _make(jax.random.PRNGKey(8), b, h, d, t, jnp.float32, idx)
+    i = jnp.asarray(idx, jnp.int32)
+    out_ref, k_ref, v_ref = pd._xla_reference(*args, i)
+
+    spec = P(None, None, None, "data")  # split T_max: unsupported layout
+    sharded = [jax.device_put(x, NamedSharding(mesh, spec)) for x in args]
+    fn = jax.jit(lambda i, *a: pd.decode_self_attention(*a, index=i))
+    out, k_o, v_o = fn(i, *sharded)
+    np.testing.assert_array_equal(np.asarray(k_o), np.asarray(k_ref))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_q8_cross_partitioned_batch_heads():
+    mesh = _mesh42()
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    b, h, d, t = 4, 8, 32, 48
+    q = jax.random.normal(keys[0], (b, h, 1, d), jnp.float32) * d ** -0.5
+    k8, sk = pd.quantize_kv_cols(
+        jax.random.normal(keys[1], (b, h, d, t), jnp.float32))
+    v8, sv = pd.quantize_kv_cols(
+        jax.random.normal(keys[2], (b, h, d, t), jnp.float32))
+    want = pd.decode_cross_attention_q8(q, k8, sk, v8, sv)
+
+    spec = P("data", "model", None, None)
+    put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))  # noqa: E731
+    got = jax.jit(pd.decode_cross_attention_q8)(
+        put(q), put(k8), put(sk), put(v8), put(sv))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    assert {s.data.shape for s in got.addressable_shards} == {(1, 4, 1, d)}

@@ -101,10 +101,10 @@ def _kernel(idx_ref, q_ref, kn_ref, vn_ref, kb_ref, vb_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _fused_call(query, k_new, v_new, k_buf, v_buf, index):
+def _pallas_self(idx, query, k_new, v_new, k_buf, v_buf):
+    """Raw kernel launch on (local-shard) shapes; idx is a [1] int32 array."""
     b, h, _, d = query.shape
     t = k_buf.shape[3]
-    idx = jnp.asarray(index, jnp.int32).reshape(1)
     buf_spec = pl.BlockSpec((1, h, d, t), lambda i: (i, 0, 0, 0))
     tok_spec = pl.BlockSpec((1, h, 1, d), lambda i: (i, 0, 0, 0))
     return pl.pallas_call(
@@ -130,6 +130,11 @@ def _fused_call(query, k_new, v_new, k_buf, v_buf, index):
         input_output_aliases={4: 1, 5: 2},
         interpret=_INTERPRET,
     )(idx, query, k_new, v_new, k_buf, v_buf)
+
+
+def _fused_call(query, k_new, v_new, k_buf, v_buf, index):
+    idx = jnp.asarray(index, jnp.int32).reshape(1)
+    return _self_cp()(idx, query, k_new, v_new, k_buf, v_buf)
 
 
 def _xla_reference(query, k_new, v_new, k_buf, v_buf, index):
@@ -204,7 +209,8 @@ def _q8_cross_kernel(q_ref, k8_ref, sk_ref, v8_ref, sv_ref, out_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _q8_cross_call(query, k8, sk, v8, sv, kv_len):
+def _pallas_q8_cross(query, k8, sk, v8, sv, *, kv_len):
+    """Raw kernel launch on (local-shard) shapes."""
     b, h, _, d = query.shape
     t = k8.shape[3]
     # One program per batch row ([H, D, Tk] slabs): at whisper-base decode
@@ -222,6 +228,10 @@ def _q8_cross_call(query, k8, sk, v8, sv, kv_len):
         out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
         interpret=_INTERPRET,
     )(query, k8, sk, v8, sv)
+
+
+def _q8_cross_call(query, k8, sk, v8, sv, kv_len):
+    return _q8_cp(kv_len)(query, k8, sk, v8, sv)
 
 
 def decode_cross_attention_q8(
@@ -251,6 +261,137 @@ def decode_cross_attention_q8(
                      v8.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     return out.astype(query.dtype)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning (jax.experimental.custom_partitioning)
+#
+# Serving composes with device meshes — DP shards the batch, TP shards heads
+# (tests/test_tp.py pins TP-sharded generate token identity) — but the pallas
+# calls above are opaque custom calls GSPMD cannot split on its own; without
+# rules the partitioner would gather the full caches to every device each
+# decode step.  Both kernels are embarrassingly parallel over (batch, head):
+# each program touches only its own [D, T] slabs and the softmax reduces over
+# the UNSHARDED cache-length axis.  So the rules mirror the flash wrappers in
+# ops/pallas_attention.py: dims {0, 1} shard straight through, anything else
+# is force-gathered (full replication — correct, never fast-and-wrong).  The
+# in-place cache aliasing is per-shard, so the zero-copy append survives
+# partitioning.
+
+
+def _bh_shardings(mesh, q_sharding):
+    """NamedSharding path: propagate q's (batch, head) spec entries to every
+    rank-4 operand/result; None when no usable spec (GSPMDSharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tethys_tpu.ops.pallas_attention import _spec4
+
+    spec = _spec4(q_sharding)
+    if spec is None or mesh is None or not getattr(mesh, "axis_names", ()):
+        return None
+    return dict(
+        arr=NamedSharding(mesh, P(spec[0], spec[1], None, None)),
+        scalar=NamedSharding(mesh, P(None)),
+    )
+
+
+def _bh_passthrough_ok(shardings):
+    """GSPMDSharding path: partitionable iff only dims {0, 1} are split."""
+    from tethys_tpu.ops.pallas_attention import _hlo_sharded_dims
+
+    return all(set(_hlo_sharded_dims(s, 4)) <= {0, 1} for s in shardings)
+
+
+@functools.lru_cache(maxsize=None)
+def _self_cp():
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from tethys_tpu.ops.pallas_attention import _replicated_like
+
+    cp = custom_partitioning(_pallas_self)
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = arg_shapes[1].sharding
+        sh = _bh_shardings(mesh, q_sh)
+        if sh is not None:
+            return (sh["arr"],) * 3
+        if _bh_passthrough_ok([a.sharding for a in arg_shapes[1:]]):
+            return (q_sh, arg_shapes[4].sharding, arg_shapes[5].sharding)
+        rep = _replicated_like(q_sh)
+        return (rep, rep, rep)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = arg_shapes[1].sharding
+        sh = _bh_shardings(mesh, q_sh)
+        if sh is not None:
+            args = (sh["scalar"],) + (sh["arr"],) * 5
+            outs = (sh["arr"],) * 3
+        elif _bh_passthrough_ok([a.sharding for a in arg_shapes[1:]]):
+            args = tuple(a.sharding for a in arg_shapes)
+            outs = (q_sh, arg_shapes[4].sharding, arg_shapes[5].sharding)
+        else:
+            rep = _replicated_like(q_sh)
+            args = (rep,) * 6
+            outs = (rep,) * 3
+        return mesh, _pallas_self, outs, args
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="s, b h u e, b h u e, b h u e, b h e t, b h e t "
+                      "-> b h u e, b h e t, b h e t",
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _q8_cp(kv_len: int):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from tethys_tpu.ops.pallas_attention import _replicated_like
+
+    def impl(query, k8, sk, v8, sv):
+        # A plain positional closure: custom_partitioning cannot resolve
+        # functools.partial keyword arguments to positions.
+        return _pallas_q8_cross(query, k8, sk, v8, sv, kv_len=kv_len)
+
+    cp = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = arg_shapes[0].sharding
+        sh = _bh_shardings(mesh, q_sh)
+        if sh is not None:
+            return sh["arr"]
+        if _bh_passthrough_ok([a.sharding for a in arg_shapes]):
+            return q_sh
+        return _replicated_like(q_sh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        q_sh = arg_shapes[0].sharding
+        sh = _bh_shardings(mesh, q_sh)
+        if sh is not None:
+            args = (sh["arr"],) * 5
+            outs = sh["arr"]
+        elif _bh_passthrough_ok([a.sharding for a in arg_shapes]):
+            args = tuple(a.sharding for a in arg_shapes)
+            outs = q_sh
+        else:
+            rep = _replicated_like(q_sh)
+            args = (rep,) * 5
+            outs = rep
+        return mesh, impl, outs, args
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b h u e, b h e t, b h u t, b h e t, b h u t "
+                      "-> b h u e",
+    )
+    return cp
 
 
 def decode_self_attention(
