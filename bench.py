@@ -285,15 +285,13 @@ def main() -> None:
     import jax
 
     # Persistent compile cache: TPU compiles of whisper-base are minutes-slow
-    # and highly variable; cache them across bench invocations.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001 — cache is an optimization only
-        pass
+    # and highly variable; cache them across bench invocations.  The dir is
+    # keyed by a host CPU fingerprint so a foreign host's AOT artifacts
+    # (machine-feature mismatch -> SIGILL warnings + ~500 s stalls) can never
+    # be loaded (utils/cache.py).
+    from tethys_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
 
     # Whisper LAST: it is the headline metric and the driver parses the tail.
     families = (["wav2vec2", "whisper"] if args.family == "both"

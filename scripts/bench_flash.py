@@ -36,7 +36,8 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from tethys_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tethys_tpu.ops import pallas_attention as pa

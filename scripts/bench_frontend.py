@@ -28,7 +28,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from tethys_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tethys_tpu.audio.frontend import extract_fbank_features

@@ -57,7 +57,8 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from tethys_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     f32 = run_curve("float32", args.family, args.steps, args.model)

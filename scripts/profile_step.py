@@ -139,7 +139,8 @@ def run_trace(args, logdir: str) -> None:
     enable_host_cpu()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from tethys_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     (state, step, batch, probe, _audio, _tag,

@@ -267,6 +267,31 @@ def test_fused_self_replication_fallback_on_cache_axis():
     fn = jax.jit(lambda i, *a: pd.decode_self_attention(*a, index=i))
     out, k_o, v_o = fn(i, *sharded)
     np.testing.assert_array_equal(np.asarray(k_o), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_o), np.asarray(v_ref))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_fused_self_mixed_operand_layouts():
+    """q batch/head-sharded while the caches arrive replicated: the
+    passthrough branch must NOT hand the kernel mismatched local shapes —
+    all operands are resharded onto q's layout and results stay exact."""
+    mesh = _mesh42()
+    b, h, d, t, idx = 4, 8, 32, 64, 5
+    args = _make(jax.random.PRNGKey(11), b, h, d, t, jnp.float32, idx)
+    i = jnp.asarray(idx, jnp.int32)
+    out_ref, k_ref, v_ref = pd._xla_reference(*args, i)
+
+    q_spec = P("data", "model", None, None)
+    rep_spec = P(None, None, None, None)
+    q, k_new, v_new = (jax.device_put(x, NamedSharding(mesh, q_spec))
+                       for x in args[:3])
+    k_buf, v_buf = (jax.device_put(x, NamedSharding(mesh, rep_spec))
+                    for x in args[3:])
+    fn = jax.jit(lambda i, *a: pd.decode_self_attention(*a, index=i))
+    out, k_o, v_o = fn(i, q, k_new, v_new, k_buf, v_buf)
+    np.testing.assert_array_equal(np.asarray(k_o), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_o), np.asarray(v_ref))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                atol=1e-6, rtol=1e-6)
 

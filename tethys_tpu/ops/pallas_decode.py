@@ -134,6 +134,12 @@ def _pallas_self(idx, query, k_new, v_new, k_buf, v_buf):
 
 def _fused_call(query, k_new, v_new, k_buf, v_buf, index):
     idx = jnp.asarray(index, jnp.int32).reshape(1)
+    if jax.device_count() == 1:
+        # Single device: skip the custom_partitioning wrapper so the
+        # input_output_aliases zero-copy cache append sits directly under
+        # XLA's copy-insertion (an extra custom-call boundary can defeat
+        # the aliasing and silently re-add the cache-write traffic).
+        return _pallas_self(idx, query, k_new, v_new, k_buf, v_buf)
     return _self_cp()(idx, query, k_new, v_new, k_buf, v_buf)
 
 
@@ -231,6 +237,8 @@ def _pallas_q8_cross(query, k8, sk, v8, sv, *, kv_len):
 
 
 def _q8_cross_call(query, k8, sk, v8, sv, kv_len):
+    if jax.device_count() == 1:
+        return _pallas_q8_cross(query, k8, sk, v8, sv, kv_len=kv_len)
     return _q8_cp(kv_len)(query, k8, sk, v8, sv)
 
 
@@ -317,7 +325,7 @@ def _self_cp():
         if sh is not None:
             return (sh["arr"],) * 3
         if _bh_passthrough_ok([a.sharding for a in arg_shapes[1:]]):
-            return (q_sh, arg_shapes[4].sharding, arg_shapes[5].sharding)
+            return (q_sh, q_sh, q_sh)
         rep = _replicated_like(q_sh)
         return (rep, rep, rep)
 
@@ -329,8 +337,15 @@ def _self_cp():
             args = (sh["scalar"],) + (sh["arr"],) * 5
             outs = (sh["arr"],) * 3
         elif _bh_passthrough_ok([a.sharding for a in arg_shapes[1:]]):
-            args = tuple(a.sharding for a in arg_shapes)
-            outs = (q_sh, arg_shapes[4].sharding, arg_shapes[5].sharding)
+            # All rank-4 operands are forced onto q's (dims {0,1}-only)
+            # sharding — mirrors _make_fwd_cp.  Passing each operand's own
+            # sharding through would accept mixed layouts (q batch-sharded,
+            # caches replicated/head-sharded) whose mismatched local shapes
+            # feed _pallas_self a grid sized by q against differently-sized
+            # cache slabs.  Resharding to q_sh is a no-op when layouts
+            # already match and a corrective reshard when they don't.
+            args = (arg_shapes[0].sharding,) + (q_sh,) * 5
+            outs = (q_sh, q_sh, q_sh)
         else:
             rep = _replicated_like(q_sh)
             args = (rep,) * 6
@@ -377,7 +392,10 @@ def _q8_cp(kv_len: int):
             args = (sh["arr"],) * 5
             outs = sh["arr"]
         elif _bh_passthrough_ok([a.sharding for a in arg_shapes]):
-            args = tuple(a.sharding for a in arg_shapes)
+            # Force every operand onto q's sharding (see _self_cp) so mixed
+            # per-operand layouts cannot reach the kernel with mismatched
+            # local shapes.
+            args = (q_sh,) * 5
             outs = q_sh
         else:
             rep = _replicated_like(q_sh)
