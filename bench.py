@@ -163,7 +163,11 @@ def _step_flops(step, state, batch, rng):
 
     Shares the persistent compile cache with the measured steps, so the
     lower().compile() here is a cache hit.  Returns None when the runtime's
-    cost analysis is unavailable (observability must not fail the bench)."""
+    cost analysis is unavailable (observability must not fail the bench).
+
+    NOTE: this enumerates HLO ops only — the flash-attention custom calls
+    are invisible to it.  Callers must add `_custom_call_flops` for an
+    exact figure (profiling/flops.py)."""
     try:
         analysis = step.lower(state, batch, rng).compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
@@ -172,6 +176,30 @@ def _step_flops(step, state, batch, rng):
         return flops if flops > 0 else None
     except Exception:  # noqa: BLE001
         return None
+
+
+# Label length the whisper bench feeds (see _build_whisper) — the decoder
+# cross-attention FLOPs scale with it.
+_WHISPER_LABEL_LEN = 100
+
+
+def _custom_call_flops(args, family: str) -> float:
+    """Analytic FLOPs of the Pallas custom calls in one train step at this
+    bench's exact shapes — the part cost_analysis() misses."""
+    from tethys_tpu.profiling import flops as flops_lib
+
+    if family == "whisper":
+        from tethys_tpu.configs import WhisperConfig
+
+        cfg = WhisperConfig.from_size(args.model)
+        return flops_lib.whisper_custom_call_flops(
+            cfg, args.batch_size, label_len=_WHISPER_LABEL_LEN,
+            whole_loss_remat=getattr(args, "remat", False))
+    from tethys_tpu.configs import Wav2Vec2Config
+
+    cfg = Wav2Vec2Config.from_size(args.model)
+    return flops_lib.wav2vec2_custom_call_flops(
+        cfg, args.batch_size, cfg.downsampled_length(32000))
 
 
 def _run_family(args, family: str, tag_suffix: str = "") -> None:
@@ -190,7 +218,12 @@ def _run_family(args, family: str, tag_suffix: str = "") -> None:
     for i in range(args.warmup):
         state, loss = step(state, batch, jax.random.fold_in(rng, i))
     force(state, loss)
-    flops_per_step = _step_flops(step, state, batch, rng)
+    flops_hlo = _step_flops(step, state, batch, rng)
+    flops_custom = _custom_call_flops(args, family)
+    # Exact per-step FLOPs = HLO cost model + the flash custom calls it
+    # can't see (whisper-base: attention is ~7% of step FLOPs; grows with
+    # model size).  flops_hlo stays in the JSON for cross-round continuity.
+    flops_per_step = (flops_hlo + flops_custom) if flops_hlo else None
 
     # Fold the per-step rng streams OUTSIDE the timed loop: an eager fold_in
     # is a separate tiny dispatch (~0.5 ms through a tunneled runtime) that
@@ -211,6 +244,8 @@ def _run_family(args, family: str, tag_suffix: str = "") -> None:
     peak_tflops = float(os.environ.get("TETHYS_PEAK_TFLOPS", "197"))
     mfu = (round(flops_per_step / step_time / (peak_tflops * 1e12), 4)
            if flops_per_step else None)
+    mfu_hlo_only = (round(flops_hlo / step_time / (peak_tflops * 1e12), 4)
+                    if flops_hlo else None)
 
     metric = f"{model_tag}_audio_sec_per_sec_per_chip"
     baseline_key = metric
@@ -236,7 +271,10 @@ def _run_family(args, family: str, tag_suffix: str = "") -> None:
         "loss": round(float(jax.device_get(loss)), 4),
         "backend": jax.default_backend(),
         "flops_per_step": flops_per_step,
+        "flops_hlo": flops_hlo,
+        "flops_custom_calls": flops_custom,
         "mfu": mfu,
+        "mfu_hlo_only": mfu_hlo_only,
         "peak_tflops": peak_tflops,
     }), flush=True)
 
