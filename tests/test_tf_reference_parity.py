@@ -388,3 +388,54 @@ def test_w2v2_losses_parity_matched_negatives(w2v2_pair):
     our_total = float(our_contrastive) + cfg.diversity_loss_weight * float(
         our_diversity)
     _assert_close(our_total, ref_total, "total pretraining loss")
+
+
+def test_reference_codevectors_are_untracked_and_frozen(w2v2_pair):
+    """Pins quirk #13: the reference declares its quantizer codevectors
+    trainable=True (wav2vec2_dist.py:570-575) but as a raw tf.Variable
+    attribute, which Keras 3 does not track.  The variable is absent from
+    model.trainable_variables AND model.variables, so the reference's
+    optimizer never updates it, the global-norm clip never sees its
+    gradient, and checkpoints never save it — the codebook is frozen at
+    random init.  Our default (Wav2Vec2Config.freeze_codevectors=True)
+    reproduces this via stop_gradient; this test pins the REFERENCE side
+    so a TF/Keras upgrade that starts tracking the variable is caught."""
+    ref_model = w2v2_pair[0]
+    cv = ref_model.wav2vec2.quantizer.codevectors
+    ids = {id(v) for v in ref_model.variables}
+    t_ids = {id(v) for v in ref_model.trainable_variables}
+    assert cv.trainable  # declared trainable...
+    assert id(cv) not in t_ids  # ...but untracked by Keras
+    assert id(cv) not in ids
+
+
+def test_our_codevectors_gradient_is_zero_by_default(w2v2_pair):
+    """Our side of quirk #13: with freeze_codevectors=True (default) the
+    codevector gradient is exactly zero; with False it is nonzero."""
+    from tethys_tpu import losses as our_losses
+    from tethys_tpu.models.wav2vec2 import create_full_model
+
+    _, model, params, cfg, audio = w2v2_pair
+
+    def grad_norm(m):
+        def loss_fn(p):
+            out = m.apply({"params": p}, jnp.asarray(audio), training=True)
+            _, con = our_losses.contrastive_loss(
+                out["projected_states"],
+                out["projected_quantized_features"],
+                jax.random.PRNGKey(0), num_negatives=cfg.num_negatives,
+                temperature=cfg.contrastive_logits_temperature)
+            return con + cfg.diversity_loss_weight * our_losses.diversity_loss(
+                out["codevector_perplexity"])
+
+        g = jax.grad(loss_fn)(params)
+        return float(jnp.linalg.norm(
+            g["wav2vec2"]["quantizer"]["codevectors"].ravel()))
+
+    assert grad_norm(model) == 0.0
+    thawed, _ = create_full_model(
+        "pretraining", "tiny",
+        hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+        compute_dtype="float32", freeze_codevectors=False,
+    )
+    assert grad_norm(thawed) > 0.0

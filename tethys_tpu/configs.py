@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 _DTYPES = {
     "float32": jnp.float32,
+    "float64": jnp.float64,  # CPU-only; used by numeric-drift probes/tests
     "bfloat16": jnp.bfloat16,
     "float16": jnp.float16,
 }
@@ -153,6 +154,17 @@ class Wav2Vec2Config:
     num_codevector_groups: int = 2
     codevector_dim: int = 128
     proj_codevector_dim: int = 128
+
+    # Quirk #13: the reference declares codevectors trainable=True
+    # (wav2vec2_dist.py:570-575) but as a raw tf.Variable attribute, which
+    # Keras 3 does NOT track — it never appears in model.trainable_variables
+    # (or model.variables), so optimizer.apply_gradients never updates it,
+    # it is excluded from the tf.clip_by_global_norm set, and it is absent
+    # from reference checkpoints.  The reference codebook is therefore
+    # FROZEN at its random init (BEST-RQ-style).  Default True for exact
+    # trajectory parity; set False to actually train the codebook
+    # (extension).
+    freeze_codevectors: bool = True
 
     contrastive_logits_temperature: float = 0.1
     num_negatives: int = 100

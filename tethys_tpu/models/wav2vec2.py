@@ -270,6 +270,14 @@ class Wav2Vec2Quantizer(nn.Module):
             "codevectors", nn.initializers.normal(stddev=1.0),
             (groups, vectors, group_dim), jnp.float32,
         )
+        if cfg.freeze_codevectors:
+            # Quirk #13 (see configs.Wav2Vec2Config): the reference's
+            # codevectors tf.Variable is untracked by Keras 3, so its
+            # optimizer never updates it and its (in-graph, nonzero)
+            # gradient never enters the global-norm clip.  stop_gradient
+            # reproduces that exactly — zero grad, zero Adam update, zero
+            # norm contribution — and composes with every parallel path.
+            codevectors = jax.lax.stop_gradient(codevectors)
         projected = nn.Dense(cfg.codevector_dim, dtype=cfg.dtype,
                              kernel_init=DenseInit,
                              name="project_to_codevector_dim")(hidden_states)

@@ -61,17 +61,65 @@ def per_variable_clipnorm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class KerasAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def keras_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-7) -> optax.GradientTransformation:
+    """tf.keras.optimizers.Adam's EXACT update rule.
+
+    Keras differs from optax.adam in epsilon placement: it folds the bias
+    corrections into the step size and adds eps to the UNCORRECTED
+    sqrt(v) —
+
+        alpha_t = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        var    -= alpha_t * m / (sqrt(v) + eps)
+
+    which is equivalent to m_hat / (sqrt(v_hat) + eps / sqrt(1 - b2^t)):
+    an effective epsilon ~32x optax's at step 1, decaying toward eps.  The
+    gap is tiny per step but COMPOUNDS — the 20-step trajectory-parity
+    harness (tests/test_tf_trajectory_parity.py) measured 0.6% loss drift
+    with optax.adam, 6x the <1e-3 north-star tolerance.  Moments live in
+    the param dtype (same policy as optax.adam), so bf16-master capacity
+    mode behaves identically."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)  # noqa: E731
+        return KerasAdamState(jnp.zeros([], jnp.int32), zeros(), zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: m + (g - m) * (1.0 - b1), state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: v + (jnp.square(g) - v) * (1.0 - b2), state.nu,
+            updates)
+        c = count.astype(jnp.float32)
+        alpha = learning_rate * jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v: (-alpha * m / (jnp.sqrt(v) + eps)).astype(m.dtype),
+            mu, nu)
+        return new_updates, KerasAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def whisper_optimizer(learning_rate: float = 1e-4) -> optax.GradientTransformation:
-    """Adam with Keras defaults (eps=1e-7) — reference whisper_dist.py:894-901."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    """Adam with Keras defaults (eps=1e-7), Keras-exact epsilon placement —
+    reference whisper_dist.py:894-901."""
+    return keras_adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
 
 
 def wav2vec2_optimizer(learning_rate: float = 3e-5) -> optax.GradientTransformation:
-    """clipnorm(1.0-per-variable) + Adam(eps=1e-8) — reference
+    """clipnorm(1.0-per-variable) + Keras-exact Adam(eps=1e-8) — reference
     wav2vec2_dist.py:1271-1275."""
     return optax.chain(
         per_variable_clipnorm(1.0),
-        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+        keras_adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
     )
 
 

@@ -143,17 +143,22 @@ def per_variable_clipnorm(spec: FlatSpec,
 
 
 def whisper_optimizer(learning_rate: float = 1e-4):
-    """Flat twin of dp.whisper_optimizer — optax.adam works on the flat
-    vector as a single-leaf pytree unchanged."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    """Flat twin of dp.whisper_optimizer — keras_adam works on the flat
+    vector as a single-leaf pytree unchanged (Keras-exact epsilon
+    placement; see dp.keras_adam)."""
+    from tethys_tpu.parallel.dp import keras_adam
+
+    return keras_adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
 
 
 def wav2vec2_optimizer(spec: FlatSpec, learning_rate: float = 3e-5):
     """Flat twin of dp.wav2vec2_optimizer: per-variable clipnorm(1.0) +
     Adam(eps=1e-8), reference wav2vec2_dist.py:1271-1275."""
+    from tethys_tpu.parallel.dp import keras_adam
+
     return optax.chain(
         per_variable_clipnorm(spec, 1.0),
-        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+        keras_adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
     )
 
 
