@@ -150,3 +150,51 @@ def test_log_mel_features_high_rank_takes_xla_path(monkeypatch):
     out = log_mel_features(wave)
     want = extract_fbank_features(wave)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+
+
+def test_stream_log_mel_matches_monolithic_stft():
+    """Streaming frontend seam policy is EXACT: a 125 s waveform chunked
+    into five 30 s windows (overlap-carry slicing) produces bit-identical
+    frames to ONE whole-signal STFT over the zero-padded 150 s signal —
+    including the frames that straddle window seams."""
+    from tethys_tpu.audio import extract_fbank_features, stream_log_mel
+
+    rng = np.random.default_rng(0)
+    t = 125 * 16000  # 2 min 5 s
+    wave = jnp.asarray(rng.standard_normal(t).astype(np.float32))
+
+    out = stream_log_mel(wave)                       # [5, 3000, 80]
+    assert out.shape == (5, 3000, 80)
+
+    padded = jnp.pad(wave, (0, 5 * 480000 + 240 - t))
+    mono = extract_fbank_features(padded)            # [15000, 80]
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(15000, 80), np.asarray(mono))
+
+
+def test_stream_log_mel_short_input_single_window():
+    """Sub-30 s input yields one zero-padded window, equal to
+    prepare_input_features' pad-to-30 s result in encoder layout."""
+    from tethys_tpu.audio import prepare_streaming_features
+
+    rng = np.random.default_rng(1)
+    wave = jnp.asarray(rng.standard_normal(4 * 16000).astype(np.float32))
+    out = prepare_streaming_features(wave)
+    assert out.shape == (1, 80, 3000)
+    ref = prepare_input_features(wave)
+    # prepare_input_features pads FEATURES with log(1e-6); the streaming
+    # path pads the WAVEFORM with zeros — identical on the frames the
+    # 4 s signal actually covers.
+    n_valid = (4 * 16000 - 400) // 160 + 1
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :, :n_valid], np.asarray(ref)[0, :, :n_valid],
+        rtol=1e-6, atol=1e-6)
+
+
+def test_stream_log_mel_large_v3_mel_bins():
+    """n_mels=128 (large-v3) flows through the streaming frontend."""
+    from tethys_tpu.audio import prepare_streaming_features
+
+    wave = jnp.zeros(32 * 16000, jnp.float32)
+    out = prepare_streaming_features(wave, n_mels=128)
+    assert out.shape == (2, 128, 3000)

@@ -267,3 +267,37 @@ def test_make_chunked_greedy_matches_plain(tiny_setup):
     np.testing.assert_array_equal(np.asarray(p1[0]), np.asarray(tokens))
     assert int(p1[1]) == int(length) == 2
     assert gen.chunks_run == 1
+
+
+def test_large_v3_preset_forward():
+    """large-v3 (BASELINE.json stretch config): n_mels=128, vocab 51866,
+    v3 start token — preset flows through the conv stem and LM head.
+    Trunk dims are overridden small here to keep the test cheap; the
+    128-mel stem and 51866-way head are the v3-specific paths."""
+    from tethys_tpu.models.whisper import create_whisper_model
+
+    model, cfg = create_whisper_model(
+        "large-v3", d_model=64, encoder_layers=1, encoder_attention_heads=2,
+        decoder_layers=1, decoder_attention_heads=2, d_ff=128, n_ctx=32,
+        dropout=0.0, attention_dropout=0.0)
+    assert (cfg.n_mels, cfg.vocab_size, cfg.decoder_start_token_id) == (
+        128, 51866, 50258)
+    feats = jnp.zeros((2, 128, 64), jnp.float32)
+    labels = jnp.array([[9, 8, 7, 6]] * 2, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, labels=labels,
+                        deterministic=True)["params"]
+    out = model.apply({"params": params}, feats, labels=labels,
+                      deterministic=True)
+    assert out["logits"].shape == (2, 4, 51866)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_large_v3_full_trunk_shapes():
+    """The un-overridden large-v3 preset matches OpenAI whisper-large-v3:
+    1280-d, 32+32 layers, 20 heads, 128 mels."""
+    from tethys_tpu.configs import WhisperConfig
+
+    cfg = WhisperConfig.from_size("large-v3")
+    assert (cfg.d_model, cfg.encoder_layers, cfg.decoder_layers,
+            cfg.encoder_attention_heads, cfg.n_mels, cfg.vocab_size) == (
+        1280, 32, 32, 20, 128, 51866)

@@ -135,7 +135,7 @@ def prepare_input_features(waveform: jax.Array, n_frames: int = 3000,
     """Waveform [T] -> model input [1, n_mels, n_frames]: log-mel, transposed
     to the encoder layout and padded/trimmed to the 30 s frame budget (the
     transpose the reference transcribe path forgot)."""
-    feats = log_mel_features(waveform)                 # [F, n_mels]
+    feats = log_mel_features(waveform, n_mels=n_mels)  # [F, n_mels]
     feats = feats.T                                    # [n_mels, F]
     f = feats.shape[-1]
     if f < n_frames:
@@ -144,3 +144,51 @@ def prepare_input_features(waveform: jax.Array, n_frames: int = 3000,
     else:
         feats = feats[:, :n_frames]
     return feats[None]
+
+
+def stream_log_mel(waveform: jax.Array, sample_rate: int = 16000,
+                   n_mels: int = 80, n_fft: int = 400,
+                   hop_length: int = 160,
+                   window_seconds: float = 30.0) -> jax.Array:
+    """Arbitrary-length waveform [T] -> [n_windows, frames_per_window, n_mels]
+    of 30 s log-mel windows — the STREAMING frontend of the BASELINE.json
+    stretch config ("Whisper large-v3 ... with streaming fused log-mel
+    frontend"; reference anchor: extract_fbank_features,
+    speech_jobs/whisper_dist.py:739-766, which handles a single 30 s window).
+
+    Seam policy: EXACT.  Window k covers monolithic STFT frames
+    [k*F, (k+1)*F) (F = frames per 30 s window); each window's sample slice
+    carries the (n_fft - hop_length)-sample lookahead past its nominal
+    boundary, so every frame — including the seam-straddling ones — equals
+    the frame a single whole-signal STFT would produce (test-pinned).  No
+    overlap-add, no windowing tricks: frames never straddle INTO a window's
+    slice that the monolithic framing wouldn't also read.
+
+    The tail window is zero-padded to the full 30 s (whisper's own
+    pad-to-30s semantic), so every window has identical static shape and
+    one fused_log_mel compile serves any audio length.  All windows go
+    through the kernel as ONE batch (TPU: the fused pallas kernel; else the
+    XLA frontend)."""
+    assert waveform.ndim == 1, "stream_log_mel takes a single [T] waveform"
+    window_samples = int(round(window_seconds * sample_rate))  # 480000
+    frames_per_window = window_samples // hop_length           # 3000
+    lookahead = n_fft - hop_length                             # 240
+    t = waveform.shape[0]
+    n_windows = max(1, -(-t // window_samples))
+
+    padded = jnp.pad(waveform.astype(jnp.float32),
+                     (0, n_windows * window_samples + lookahead - t))
+    starts = np.arange(n_windows)[:, None] * window_samples
+    idx = starts + np.arange(window_samples + lookahead)[None]
+    windows = padded[idx]                   # [n_windows, 480240]
+    return log_mel_features(windows, sample_rate, n_mels, n_fft, hop_length)
+
+
+def prepare_streaming_features(waveform: jax.Array, n_mels: int = 80,
+                               sample_rate: int = 16000) -> jax.Array:
+    """Arbitrary-length waveform [T] -> encoder input batch
+    [n_windows, n_mels, 3000]: stream_log_mel + the encoder's
+    [B, n_mels, T] layout.  Feed straight to the whisper encoder /
+    greedy_generate as a batch of 30 s windows."""
+    feats = stream_log_mel(waveform, sample_rate=sample_rate, n_mels=n_mels)
+    return jnp.swapaxes(feats, -1, -2)

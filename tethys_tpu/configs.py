@@ -114,6 +114,16 @@ class WhisperConfig:
                            decoder_layers=24, decoder_attention_heads=16, d_ff=4096),
             "large": dict(d_model=1280, encoder_layers=32, encoder_attention_heads=20,
                           decoder_layers=32, decoder_attention_heads=20, d_ff=5120),
+            # OpenAI whisper-large-v3: same trunk as large but a 128-bin
+            # mel frontend and the v2/v3 tokenizer (+1 language token).
+            # The BASELINE.json stretch config ("Whisper large-v3 ...
+            # streaming fused log-mel frontend"); not in the reference's
+            # preset table (whisper_dist.py:852-890 stops at "large").
+            "large-v3": dict(d_model=1280, encoder_layers=32,
+                             encoder_attention_heads=20, decoder_layers=32,
+                             decoder_attention_heads=20, d_ff=5120,
+                             n_mels=128, vocab_size=51866,
+                             decoder_start_token_id=50258),
         }
         kwargs = dict(presets[model_type])
         kwargs.update(overrides)
