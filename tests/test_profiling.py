@@ -275,3 +275,65 @@ def test_wav2vec2_intra_op_census():
     assert len(inv) == cfg.num_hidden_layers * 2
     name, shape, dtype, nbytes = inv[0]
     assert shape == (2, cfg.num_attention_heads, frames, frames)
+
+
+def test_whisper_census_matches_reference_measured_artifact():
+    """Ground truth vs the reference profiler's OWN measured output
+    (VERDICT r4 item 5 — replaces reliance on hand-computed accounting).
+    tests/data/ref_tensorsize/ holds the artifact from actually running
+    whisper_dist_tensorsize.py (5 steps, batch 1, CPU TF; see its README
+    for the run command and findings).  Step 1 records each track point
+    once per tf.function TRACE — seven traces (five for posenc) — and all
+    later steps record 0, so the single-pass census is derived by
+    dividing per-op sums by their trace multiplicity.  Our analytic
+    census must land within [1.0, 1.15] of it: never BELOW (every
+    reference track point is covered), at most 15% above (our module
+    census also counts LN/conv-stem/logits outputs the reference's 21
+    track points do not)."""
+    import csv
+    import os
+
+    from tethys_tpu.models.whisper import create_whisper_model
+    from tethys_tpu.profiling.tensorsize import whisper_intra_op_inventory
+
+    data = os.path.join(os.path.dirname(__file__), "data", "ref_tensorsize")
+    with open(os.path.join(data, "tiresias_tensorsize.txt")) as f:
+        rows = list(csv.DictReader(f))
+    by_step = {int(r["step"]): float(r["tensorsize_mb"]) for r in rows}
+    assert by_step[1] > 0 and all(by_step[s] == 0.0 for s in range(2, 6))
+
+    single_pass = 0.0
+    with open(os.path.join(data, "step1_op_bytes_count.csv")) as f:
+        for op, nbytes, count in csv.reader(f):
+            # Every (op, size) row's count is (sites at that size) x the
+            # trace multiplicity: 7 traces of the train step, except the
+            # positional-encoding hooks which two traces skip (x5).
+            traces = 5 if op.startswith("positional_encoding") else 7
+            assert int(count) % traces == 0, (op, count)
+            single_pass += int(nbytes) * (int(count) // traces) / 2**20
+    # reconstruction must explain the artifact's own step-1 total
+    total = sum(int(n) * int(c) / 2**20
+                for _, n, c in csv.reader(
+                    open(os.path.join(data, "step1_op_bytes_count.csv"))))
+    assert abs(total - by_step[1]) / by_step[1] < 1e-3
+
+    model, cfg = create_whisper_model("small")
+    B, Te, Td = 1, 1500, 100
+    params = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(0)},
+            jnp.zeros((1, cfg.n_mels, 64)),
+            labels=jnp.zeros((1, Td), jnp.int32),
+            deterministic=True)["params"])
+    feats = jax.ShapeDtypeStruct((B, cfg.n_mels, 2 * Te), jnp.float32)
+    labs = jax.ShapeDtypeStruct((B, Td), jnp.int32)
+    act_inv = intermediate_inventory(
+        model, params, feats, labels=labs, deterministic=True)
+    intra_inv = whisper_intra_op_inventory(cfg, B, enc_len=Te, dec_len=Td)
+    ours_mb = (sum(n for *_, n in act_inv)
+               + sum(n for *_, n in intra_inv)) / 2**20
+    ratio = ours_mb / single_pass
+    assert 1.0 <= ratio < 1.15, (
+        f"our census {ours_mb:.1f} MB vs reference-measured single-pass "
+        f"{single_pass:.1f} MB (ratio {ratio:.3f})")
