@@ -89,7 +89,12 @@ def main() -> None:
         )["params"]}
     # Init ran on host CPU; move the weights onto the chip once so the
     # timed calls don't re-transfer ~300 MB per invocation.
+    print("uploading weights to device...", file=sys.stderr, flush=True)
+    t_u = time.perf_counter()
     variables = jax.device_put(variables, jax.devices()[0])
+    jax.block_until_ready(variables)
+    print(f"uploaded in {time.perf_counter() - t_u:.0f}s",
+          file=sys.stderr, flush=True)
 
     if args.force_eos:
         # Global EOS at decode step 1 on random weights: make every batch

@@ -236,10 +236,36 @@ def _pallas_q8_cross(query, k8, sk, v8, sv, *, kv_len):
     )(query, k8, sk, v8, sv)
 
 
+_Q8_XLA = os.environ.get("TETHYS_Q8_XLA", "0") == "1"
+
+
 def _q8_cross_call(query, k8, sk, v8, sv, kv_len):
+    if _Q8_XLA:
+        # A/B lever: skip the pallas kernel and hand XLA the int8 einsum
+        # directly — it streams int8 from HBM (half the bytes) and keeps
+        # its own cross-layer fusion/overlap, which the pallas boundary
+        # forfeits.  Falls through to the math below decode_cross_attention
+        # uses for non-TPU backends.
+        return _q8_xla_math(query, k8, sk, v8, sv, kv_len)
     if jax.device_count() == 1:
         return _pallas_q8_cross(query, k8, sk, v8, sv, kv_len=kv_len)
     return _q8_cp(kv_len)(query, k8, sk, v8, sv)
+
+
+def _q8_xla_math(query, k8, sk, v8, sv, eff_len):
+    t = k8.shape[3]
+    scores = jnp.einsum(
+        "bhqd,bhdk->bhqk", query.astype(jnp.float32),
+        k8.astype(jnp.float32),
+        preferred_element_type=jnp.float32) * sk
+    if eff_len < t:
+        pos = jnp.arange(t)[None, None, None, :]
+        scores = jnp.where(pos < eff_len, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * sv
+    out = jnp.einsum("bhqk,bhdk->bhqd", probs, v8.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(query.dtype)
 
 
 def decode_cross_attention_q8(
@@ -258,17 +284,7 @@ def decode_cross_attention_q8(
     if _on_tpu() and query.shape[2] == 1:
         return _q8_cross_call(query, k8, sk, v8, sv, eff_len)
     # XLA fallback: identical math, materialized.
-    scores = jnp.einsum(
-        "bhqd,bhdk->bhqk", query.astype(jnp.float32), k8.astype(jnp.float32),
-        preferred_element_type=jnp.float32) * sk
-    if eff_len < t:
-        pos = jnp.arange(t)[None, None, None, :]
-        scores = jnp.where(pos < eff_len, scores, NEG_INF)
-    p = jax.nn.softmax(scores, axis=-1) * sv
-    out = jnp.einsum("bhqk,bhdk->bhqd", p.astype(jnp.float32),
-                     v8.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    return out.astype(query.dtype)
+    return _q8_xla_math(query, k8, sk, v8, sv, eff_len)
 
 
 # ---------------------------------------------------------------------------
