@@ -198,3 +198,36 @@ def test_stream_log_mel_large_v3_mel_bins():
     wave = jnp.zeros(32 * 16000, jnp.float32)
     out = prepare_streaming_features(wave, n_mels=128)
     assert out.shape == (2, 128, 3000)
+
+
+def test_transcribe_long_audio_tiny():
+    """Streaming serving path end-to-end on a tiny model: a 3.3 s waveform
+    with a 1.28 s model context (n_ctx=64) windows into 3 exact-seam
+    chunks, decodes them as ONE batch, and returns per-window ids."""
+    import jax
+    from tethys_tpu.configs import WhisperConfig
+    from tethys_tpu.models.whisper import WhisperForConditionalGeneration
+    from tethys_tpu.inference import transcribe_long_audio
+
+    config = WhisperConfig(
+        d_model=32, encoder_layers=1, encoder_attention_heads=2,
+        decoder_layers=1, decoder_attention_heads=2, d_ff=64,
+        n_mels=80, n_ctx=64, vocab_size=64, max_target_positions=16,
+        decoder_start_token_id=60,
+    )
+    model = WhisperForConditionalGeneration(config)
+    rng = jax.random.PRNGKey(0)
+    feats = jnp.zeros((1, 80, 128))
+    variables = {"params": model.init(
+        {"params": rng, "dropout": rng}, feats,
+        labels=jnp.zeros((1, 4), dtype=jnp.int32),
+        deterministic=True)["params"]}
+
+    # window = n_ctx*2*160 = 20480 samples (1.28 s); 3.3 s -> 3 windows
+    wave = np.random.default_rng(0).standard_normal(
+        int(3.3 * 16000)).astype(np.float32)
+    windows = transcribe_long_audio(model, variables, wave, max_length=8)
+    assert len(windows) == 3
+    for ids in windows:
+        assert ids[0] == 60
+        assert 1 <= len(ids) <= 9

@@ -185,10 +185,14 @@ def stream_log_mel(waveform: jax.Array, sample_rate: int = 16000,
 
 
 def prepare_streaming_features(waveform: jax.Array, n_mels: int = 80,
-                               sample_rate: int = 16000) -> jax.Array:
+                               sample_rate: int = 16000,
+                               window_seconds: float = 30.0) -> jax.Array:
     """Arbitrary-length waveform [T] -> encoder input batch
-    [n_windows, n_mels, 3000]: stream_log_mel + the encoder's
+    [n_windows, n_mels, frames_per_window]: stream_log_mel + the encoder's
     [B, n_mels, T] layout.  Feed straight to the whisper encoder /
-    greedy_generate as a batch of 30 s windows."""
-    feats = stream_log_mel(waveform, sample_rate=sample_rate, n_mels=n_mels)
+    greedy_generate as a batch of windows.  window_seconds defaults to
+    whisper's 30 s; inference.transcribe_long_audio derives it from the
+    model's n_ctx so non-standard contexts window correctly."""
+    feats = stream_log_mel(waveform, sample_rate=sample_rate, n_mels=n_mels,
+                           window_seconds=window_seconds)
     return jnp.swapaxes(feats, -1, -2)

@@ -56,3 +56,42 @@ def transcribe_audio(
     if tokenizer is not None:
         return tokenizer.decode(ids)
     return ids
+
+
+def transcribe_long_audio(
+    model,
+    variables,
+    waveform: np.ndarray,
+    tokenizer=None,
+    max_length: int = 448,
+    sample_rate: int = 16000,
+):
+    """Arbitrary-length waveform -> per-window token ids (or joined text).
+
+    The streaming serving path of the BASELINE.json stretch config: the
+    waveform is chunked into exact-seam 30 s windows
+    (audio.stream_log_mel — every frame bit-identical to a whole-signal
+    STFT), the windows run through the encoder + KV-cached greedy decode
+    as ONE batch (one compile serves any audio length), and each window's
+    tokens are cut at its own decode length.  Returns a list of per-window
+    id arrays, or the ' '-joined decoded text when a tokenizer is given.
+    """
+    from tethys_tpu.audio import prepare_streaming_features
+
+    # Window length follows the model's context: n_ctx mel-frame pairs at
+    # a 160-sample hop (n_ctx=1500 -> exactly 30.0 s).
+    window_seconds = model.config.n_ctx * 2 * 160 / sample_rate
+    features = prepare_streaming_features(
+        jnp.asarray(waveform, dtype=jnp.float32),
+        n_mels=model.config.n_mels, sample_rate=sample_rate,
+        window_seconds=window_seconds,
+    )
+    tokens, length = greedy_generate(
+        model, variables, features, max_length=max_length
+    )
+    toks = np.asarray(tokens)
+    n = int(np.asarray(length))
+    per_window = [toks[i, :n] for i in range(toks.shape[0])]
+    if tokenizer is not None:
+        return " ".join(tokenizer.decode(ids) for ids in per_window)
+    return per_window
