@@ -415,3 +415,28 @@ def test_tp_with_remat_layers_matches_dp():
             np.testing.assert_allclose(k, params0, rtol=2e-5, atol=1e-6)
 
     assert losses["plain"] == pytest.approx(losses["remat"], rel=1e-5)
+
+
+def test_train_whisper_large_v3_tp_e2e(tmp_path):
+    """large-v3's v3-specific paths (128-mel conv stem, 51866-token head,
+    v3 start token) through the real --tp training entry point at tiny
+    trunk dims: the preset's n_mels/vocab are NOT overridden."""
+    from tethys_tpu.train import jobs
+
+    result, _, config = jobs.train_whisper(
+        model_type="large-v3",
+        batch_size_per_replica=1,
+        num_batches=2,
+        checkpointing=False,
+        data_seq_len=64,
+        config_overrides=dict(
+            d_model=32, encoder_layers=1, encoder_attention_heads=2,
+            decoder_layers=1, decoder_attention_heads=2, d_ff=64,
+            n_ctx=32, max_target_positions=128,
+        ),
+        tensor_parallel=2,
+        remat=True,
+    )
+    assert (config.n_mels, config.vocab_size) == (128, 51866)
+    assert result.total_steps == 2
+    assert all(np.isfinite(result.losses))
