@@ -331,6 +331,34 @@ def main() -> None:
 
     setup_compilation_cache()
 
+    # Relay watchdog: the tunneled TPU's DATA path can die while device
+    # enumeration still works (observed rounds 3 and 5) — any transfer then
+    # hangs forever and the whole bench blocks silently.  Probe a tiny
+    # on-chip matmul in a subprocess with a hard timeout and emit a
+    # parseable failure line instead of hanging.
+    if jax.default_backend() not in ("cpu",):
+        import subprocess
+        import sys as _sys
+
+        try:
+            probe = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = jnp.ones((128, 128));"
+                 "print(float(jax.jit(lambda a: (a @ a).sum())(x)))"],
+                capture_output=True, timeout=180)
+            probe_failed = probe.returncode != 0
+        except subprocess.TimeoutExpired:
+            probe_failed = True
+        if probe_failed:
+            print(json.dumps({
+                "metric": "bench_error", "value": 0, "unit": "none",
+                "vs_baseline": 0,
+                "error": "TPU relay data path unresponsive (probe matmul "
+                         "failed/hung); see BASELINE.md round-5 env notes",
+            }), flush=True)
+            return
+
     # Whisper LAST: it is the headline metric and the driver parses the tail.
     families = (["wav2vec2", "whisper"] if args.family == "both"
                 else [args.family])
