@@ -44,7 +44,7 @@ def _free_port() -> int:
 
 
 def _run_cluster(n_processes: int, worker: str = WORKER,
-                 timeout: int = 240) -> list:
+                 timeout: int = 480) -> list:
     chief_addr = f"127.0.0.1:{_free_port()}"
     worker_addrs = [f"127.0.0.1:{_free_port()}"
                     for _ in range(n_processes - 1)]
@@ -209,7 +209,7 @@ def test_4_process_pp_job_entry_point_over_localhost():
     per-step losses."""
     # the jobs entry compiles whisper+Adam+dropout in 4 contending
     # processes - slower than the raw-API workers
-    outs = _run_cluster(4, worker=PP_JOB_WORKER, timeout=480)
+    outs = _run_cluster(4, worker=PP_JOB_WORKER, timeout=900)
     losses = []
     for out in outs:
         line = [ln for ln in out.splitlines()
@@ -227,7 +227,7 @@ def test_2_process_dp_job_entry_point_over_localhost():
     global-list lookup this pins against segfaulted every non-chief
     process).  Both processes must log identical, finite per-step
     losses."""
-    outs = _run_cluster(2, worker=DP_JOB_WORKER, timeout=480)
+    outs = _run_cluster(2, worker=DP_JOB_WORKER, timeout=900)
     losses = []
     for out in outs:
         line = [ln for ln in out.splitlines()
