@@ -37,7 +37,8 @@ def _build_whisper(args, jax, jnp, dp, host_cpu_context):
         np_rng.standard_normal((args.batch_size, config.n_mels, 3000),
                                dtype=np.float32))
     labels = jnp.asarray(
-        np_rng.integers(3, 100, size=(args.batch_size, 100)), dtype=jnp.int32)
+        np_rng.integers(3, 100, size=(args.batch_size, _WHISPER_LABEL_LEN)),
+        dtype=jnp.int32)
 
     with host_cpu_context():  # init is one-shot; skip the slow TPU round-trip
         params = model.init(
@@ -148,6 +149,15 @@ def build_family_step(args, family: str):
             dp.TrainState(vec, optimizer.init(vec)), mesh)
         step = dp.make_train_step(loss_fn, optimizer, mesh, hardened=hardened,
                                   flat_spec=spec)
+        # The flat path builds its step without remat; clear the flag so
+        # the analytic custom-call FLOPs don't bill a forward replay that
+        # never runs (it would inflate MFU by the whole-loss-remat factor).
+        if getattr(args, "remat", False):
+            import sys
+            print("bench: --flat_opt ignores --remat (flat step has no "
+                  "remat path); FLOPs/MFU accounted without remat",
+                  file=sys.stderr)
+            args.remat = False
         probe = lambda s: float(s.params[0])  # noqa: E731
     else:
         state = dp.replicate_state(
@@ -340,13 +350,21 @@ def main() -> None:
         import subprocess
         import sys as _sys
 
+        # Pin the child to the parent's platform: without this a child
+        # whose TPU init fails silently falls back to the CPU backend and
+        # the matmul "succeeds", vacuously passing the probe while the
+        # real data path is dead.
+        probe_env = dict(os.environ)
+        probe_env["JAX_PLATFORMS"] = probe_env.get(
+            "JAX_PLATFORMS", jax.default_backend())
         try:
             probe = subprocess.run(
                 [_sys.executable, "-c",
                  "import jax, jax.numpy as jnp;"
+                 "assert jax.default_backend() != 'cpu';"
                  "x = jnp.ones((128, 128));"
                  "print(float(jax.jit(lambda a: (a @ a).sum())(x)))"],
-                capture_output=True, timeout=180)
+                capture_output=True, timeout=180, env=probe_env)
             probe_failed = probe.returncode != 0
         except subprocess.TimeoutExpired:
             probe_failed = True

@@ -30,7 +30,6 @@ def main():
 
     from tethys_tpu.utils.cache import setup_compilation_cache
     setup_compilation_cache()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tethys_tpu.audio.frontend import extract_fbank_features
     from tethys_tpu.audio.pallas_logmel import fused_log_mel

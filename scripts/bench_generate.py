@@ -69,7 +69,6 @@ def main() -> None:
 
     from tethys_tpu.utils.cache import setup_compilation_cache
     setup_compilation_cache()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tethys_tpu.models.whisper import create_whisper_model, greedy_generate
 

@@ -59,7 +59,6 @@ def main():
 
     from tethys_tpu.utils.cache import setup_compilation_cache
     setup_compilation_cache()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     f32 = run_curve("float32", args.family, args.steps, args.model)
     bf16 = run_curve("bfloat16", args.family, args.steps, args.model)

@@ -18,7 +18,8 @@ import json
 SIZES = {
     "base":   dict(L=6,  E=512,  ff=2048, V=51865),
     "medium": dict(L=24, E=1024, ff=4096, V=51865),
-    "large":  dict(L=32, E=1280, ff=5120, V=51866),
+    # large-v1/v2 vocab is 51865; 51866 is v3's (extra <|yue|> token).
+    "large":  dict(L=32, E=1280, ff=5120, V=51865),
     "large-v3": dict(L=32, E=1280, ff=5120, V=51866),
 }
 
@@ -53,8 +54,10 @@ def main():
     p.add_argument("--hbm_gbps", type=float, default=819.0,
                    help="v5e HBM bandwidth")
     p.add_argument("--length", type=int, default=128)
+    p.add_argument("--sizes", nargs="+", default=["base", "medium", "large"],
+                   choices=sorted(SIZES), help="sizes to print")
     args = p.parse_args()
-    for size in ("base", "medium", "large"):
+    for size in args.sizes:
         for batch in (8, 16, 32):
             print(json.dumps(floor_row(size, batch, args.hbm_gbps,
                                        length=args.length)))

@@ -141,7 +141,6 @@ def run_trace(args, logdir: str) -> None:
 
     from tethys_tpu.utils.cache import setup_compilation_cache
     setup_compilation_cache()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     (state, step, batch, probe, _audio, _tag,
      args) = bench.build_family_step(args, args.family)

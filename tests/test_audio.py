@@ -231,3 +231,43 @@ def test_transcribe_long_audio_tiny():
     for ids in windows:
         assert ids[0] == 60
         assert 1 <= len(ids) <= 9
+
+
+def test_transcribe_long_audio_per_window_eos_trim(monkeypatch):
+    """Each window's tokens are cut at its OWN first EOS (the global decode
+    only stops when every window is done, so early-finishing windows carry
+    post-EOS argmax noise), and the window batch is padded to a power-of-two
+    bucket whose extra rows never leak into the result."""
+    import jax
+    import tethys_tpu.inference as inference
+    from tethys_tpu.configs import WhisperConfig
+    from tethys_tpu.models.whisper import WhisperForConditionalGeneration
+
+    config = WhisperConfig(
+        d_model=32, encoder_layers=1, encoder_attention_heads=2,
+        decoder_layers=1, decoder_attention_heads=2, d_ff=64,
+        n_mels=80, n_ctx=64, vocab_size=64, max_target_positions=16,
+        decoder_start_token_id=60,
+    )
+    model = WhisperForConditionalGeneration(config)
+
+    captured = {}
+
+    def fake_generate(model, variables, features, max_length=None):
+        captured["batch"] = features.shape[0]
+        toks = np.array([
+            [60, 5, 2, 7, 7],     # EOS at step 2 -> trimmed to [60, 5]
+            [60, 5, 6, 7, 2],     # EOS last -> [60, 5, 6, 7]
+            [60, 1, 1, 1, 1],     # never finishes -> full decode length
+            [60, 2, 0, 0, 0],     # bucket-padding row: must be dropped
+        ], dtype=np.int32)
+        return jnp.asarray(toks), jnp.asarray(5)
+
+    monkeypatch.setattr(inference, "greedy_generate", fake_generate)
+    wave = np.zeros(int(3.3 * 16000), dtype=np.float32)  # 3 windows
+    windows = inference.transcribe_long_audio(model, {}, wave)
+    assert captured["batch"] == 4  # 3 windows padded to the 4-bucket
+    assert len(windows) == 3
+    assert list(windows[0]) == [60, 5]
+    assert list(windows[1]) == [60, 5, 6, 7]
+    assert list(windows[2]) == [60, 1, 1, 1, 1]

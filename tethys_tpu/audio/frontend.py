@@ -178,9 +178,15 @@ def stream_log_mel(waveform: jax.Array, sample_rate: int = 16000,
 
     padded = jnp.pad(waveform.astype(jnp.float32),
                      (0, n_windows * window_samples + lookahead - t))
-    starts = np.arange(n_windows)[:, None] * window_samples
-    idx = starts + np.arange(window_samples + lookahead)[None]
-    windows = padded[idx]                   # [n_windows, 480240]
+    # Static slices (starts are Python ints), not an index-matrix gather:
+    # an [n_windows, 480240] int index tensor would cost ~460 MB for an
+    # hour of audio and lower to a 57M-element gather; n_windows
+    # lax.slice calls copy the same data with no index tensor at all.
+    windows = jnp.stack([
+        jax.lax.slice(padded, (k * window_samples,),
+                      (k * window_samples + window_samples + lookahead,))
+        for k in range(n_windows)
+    ])                                      # [n_windows, 480240]
     return log_mel_features(windows, sample_rate, n_mels, n_fft, hop_length)
 
 

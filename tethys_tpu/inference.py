@@ -72,9 +72,15 @@ def transcribe_long_audio(
     waveform is chunked into exact-seam 30 s windows
     (audio.stream_log_mel — every frame bit-identical to a whole-signal
     STFT), the windows run through the encoder + KV-cached greedy decode
-    as ONE batch (one compile serves any audio length), and each window's
-    tokens are cut at its own decode length.  Returns a list of per-window
-    id arrays, or the ' '-joined decoded text when a tokenizer is given.
+    as ONE batch.  The batch dimension is padded up to the next
+    power-of-two bucket so recurring audio lengths reuse a handful of
+    compiled programs instead of one per window count (TPU compiles are
+    minutes-slow; an unpadded batch would recompile for every distinct
+    length class).  Each window's tokens are cut at its own first EOS
+    (the global decode only stops when EVERY window has finished, so
+    early-finishing windows carry post-EOS argmax noise that must not
+    reach the transcript).  Returns a list of per-window id arrays (EOS
+    excluded), or the ' '-joined decoded text when a tokenizer is given.
     """
     from tethys_tpu.audio import prepare_streaming_features
 
@@ -86,12 +92,23 @@ def transcribe_long_audio(
         n_mels=model.config.n_mels, sample_rate=sample_rate,
         window_seconds=window_seconds,
     )
+    n_windows = features.shape[0]
+    bucket = 1 << (n_windows - 1).bit_length()  # next power of two
+    if bucket > n_windows:
+        pad = jnp.zeros((bucket - n_windows,) + features.shape[1:],
+                        dtype=features.dtype)
+        features = jnp.concatenate([features, pad], axis=0)
     tokens, length = greedy_generate(
         model, variables, features, max_length=max_length
     )
-    toks = np.asarray(tokens)
+    toks = np.asarray(tokens)[:n_windows]
     n = int(np.asarray(length))
-    per_window = [toks[i, :n] for i in range(toks.shape[0])]
+    eos = model.config.eos_token_id
+    per_window = []
+    for i in range(n_windows):
+        row = toks[i, :n]
+        hits = np.nonzero(row == eos)[0]
+        per_window.append(row[: hits[0]] if hits.size else row)
     if tokenizer is not None:
         return " ".join(tokenizer.decode(ids) for ids in per_window)
     return per_window
