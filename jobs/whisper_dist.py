@@ -47,7 +47,8 @@ def main() -> None:
                         help="accumulate N microbatches per optimizer step "
                              "(extension; batch_size must divide by N)")
     parser.add_argument("--model_size", type=str, default="small",
-                        choices=["tiny", "base", "small", "medium", "large"],
+                        choices=["tiny", "base", "small", "medium", "large",
+                                 "large-v3"],
                         help="whisper size preset (extension; the reference "
                              "job is fixed to its nonstandard 'small')")
     parser.add_argument("--master_dtype", type=str, default="float32",
