@@ -36,3 +36,29 @@ def test_setup_points_jax_at_host_dir(monkeypatch):
     path = cache.setup_compilation_cache()
     assert path == cache.cache_dir()
     assert jax.config.jax_compilation_cache_dir == path
+
+
+def test_host_cpu_context_disables_persistence_on_remote_runtime(monkeypatch):
+    """On remote-compile runtimes even CPU programs are compiled by the
+    remote service, so their AOT artifacts bake the WRONG machine features
+    — host_cpu_context must not persist them (and must restore the flag)."""
+    import jax
+
+    from tethys_tpu.utils import device
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert jax.config.jax_enable_compilation_cache
+    with device.host_cpu_context():
+        assert not jax.config.jax_enable_compilation_cache
+    assert jax.config.jax_enable_compilation_cache
+
+
+def test_host_cpu_context_keeps_cache_on_pure_cpu():
+    """Pure-CPU processes compile locally — artifacts match the host, and
+    the test/CI cache should keep working."""
+    import jax
+
+    from tethys_tpu.utils import device
+
+    with device.host_cpu_context():
+        assert jax.config.jax_enable_compilation_cache

@@ -47,6 +47,7 @@ def target_platform() -> str:
         return "cpu"
 
 
+@contextlib.contextmanager
 def host_cpu_context():
     """Context manager running enclosed computations on THIS host's CPU.
 
@@ -54,11 +55,38 @@ def host_cpu_context():
     list, whose first entry belongs to process 0 — on a multi-process
     cluster every other process would set a non-addressable default device
     and crash in the first traced init (found by the 4-process jobs-entry
-    test; would equally bite real multi-host pods)."""
+    test; would equally bite real multi-host pods).
+
+    The persistent compilation cache is DISABLED inside the context when a
+    non-CPU backend is present: on remote-compile runtimes (axon) even CPU
+    programs are compiled by the remote service, whose XLA:CPU AOT
+    artifacts bake the COMPILE machine's features — loading one on this
+    host triggers cpu_aot_loader machine-feature errors ("could lead to
+    execution errors such as SIGILL") and ~500 s re-verify stalls.  No
+    host-side cache key can fix that (the mismatch is remote-compiler vs
+    local host), so CPU-context programs are simply never persisted; they
+    are one-shot inits whose fresh compiles cost seconds."""
     try:
         import jax
 
         cpu = jax.local_devices(backend="cpu")[0]
-        return jax.default_device(cpu)
+        remote_runtime = jax.default_backend() != "cpu"
     except Exception:  # noqa: BLE001
-        return contextlib.nullcontext()
+        yield
+        return
+    prev = None
+    if remote_runtime:
+        try:
+            prev = jax.config.jax_enable_compilation_cache
+            jax.config.update("jax_enable_compilation_cache", False)
+        except Exception:  # noqa: BLE001 — cache knob absence must not kill
+            prev = None
+    try:
+        with jax.default_device(cpu):
+            yield
+    finally:
+        if prev is not None:
+            try:
+                jax.config.update("jax_enable_compilation_cache", prev)
+            except Exception:  # noqa: BLE001
+                pass
