@@ -47,11 +47,15 @@ def main() -> None:
                    help="bias the lm_head so EOS always wins (global EOS "
                         "at decode step 1) — demonstrates early-stop "
                         "savings on random weights")
-    p.add_argument("--kv_quant", default="none", choices=["none", "int8"],
+    p.add_argument("--kv_quant", default="int8", choices=["none", "int8"],
                    help="quantize the per-generate cross-KV caches (int8 + "
                         "per-column f32 scales) — halves the dominant decode "
-                        "HBM stream; tokens may differ in near-tie argmax "
-                        "steps (ops/pallas_decode.py)")
+                        "HBM stream.  DEFAULT since the round-5 ladder A/B "
+                        "(+25%%/+28%% tokens/s at medium/large, wash at "
+                        "base); tokens may differ from the bf16 cache in "
+                        "near-tie argmax steps (logit error ~4e-4 rel, "
+                        "test-pinned).  --kv_quant none is the bf16 kill "
+                        "switch (ops/pallas_decode.py)")
     p.add_argument("--no_fused_decode", action="store_true",
                    help="A/B switch: disable the fused self-attention + "
                         "cache-append pallas kernel (ops/pallas_decode.py) "

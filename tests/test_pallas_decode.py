@@ -20,6 +20,10 @@ from tethys_tpu.ops import pallas_decode as pd
 def _interpret(monkeypatch):
     monkeypatch.setattr(pd, "_INTERPRET", True)
     monkeypatch.setattr(pd, "_ENABLED", True)
+    # The serving default routes int8 decode through the XLA einsum
+    # (round-5 ladder); pin the PALLAS kernel on here so these tests keep
+    # exercising it (the XLA math is the reference they compare against).
+    monkeypatch.setattr(pd, "_Q8_XLA", False)
 
 
 def _make(rng, b, h, d, t, dtype, idx):

@@ -89,10 +89,15 @@ class WhisperConfig:
     remat_policy: str = "save_flash"
     # Serving: quantize the per-generate cross-attention KV caches.  "none"
     # keeps them in compute dtype; "int8" stores int8 values + one f32 scale
-    # per cache column (per encoder position, per head) and decodes through
-    # the quantized pallas kernel — halves the dominant decode HBM stream
-    # (ops/pallas_decode.py).  Opt-in: greedy tokens can differ from the
-    # full-precision cache in near-tie argmax steps.
+    # per cache column (per encoder position, per head) — halves the
+    # dominant decode HBM stream (ops/pallas_decode.py; the XLA int8 einsum
+    # by default, TETHYS_Q8_XLA=0 for the pallas kernel).  int8 is the
+    # RECOMMENDED serving mode and bench_generate's default since the
+    # round-5 ladder A/B (+25%/+28% tokens/s at medium/large, wash at
+    # base); the config default stays "none" so training-parity paths and
+    # the reference greedy token-identity contract are bit-exact.  Greedy
+    # tokens under int8 can differ from the bf16 cache in near-tie argmax
+    # steps (logit error ~4e-4 rel at realistic scale, test-pinned).
     kv_quant: str = "none"
 
     @property

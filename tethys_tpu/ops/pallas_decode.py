@@ -236,16 +236,20 @@ def _pallas_q8_cross(query, k8, sk, v8, sv, *, kv_len):
     )(query, k8, sk, v8, sv)
 
 
-_Q8_XLA = os.environ.get("TETHYS_Q8_XLA", "0") == "1"
+# Default ON since the round-5 ladder A/B: the plain XLA int8 einsum beats
+# the pallas q8 kernel at base b16 (+2.8%) and medium b8 (+5%), ties at
+# base b32, and trails it only at large b8 (-1.8%) — and it shards
+# natively (no custom_partitioning rules) and compiles no Mosaic kernel
+# per decode shape.  TETHYS_Q8_XLA=0 re-selects the pallas kernel.
+_Q8_XLA = os.environ.get("TETHYS_Q8_XLA", "1") == "1"
 
 
 def _q8_cross_call(query, k8, sk, v8, sv, kv_len):
     if _Q8_XLA:
-        # A/B lever: skip the pallas kernel and hand XLA the int8 einsum
-        # directly — it streams int8 from HBM (half the bytes) and keeps
-        # its own cross-layer fusion/overlap, which the pallas boundary
-        # forfeits.  Falls through to the math below decode_cross_attention
-        # uses for non-TPU backends.
+        # Hand XLA the int8 einsum directly — it streams int8 from HBM
+        # (half the bytes) and keeps its own cross-layer fusion/overlap,
+        # which the pallas boundary forfeits.  Same math the non-TPU
+        # fallback below uses.
         return _q8_xla_math(query, k8, sk, v8, sv, kv_len)
     if jax.device_count() == 1:
         return _pallas_q8_cross(query, k8, sk, v8, sv, kv_len=kv_len)
