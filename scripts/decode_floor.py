@@ -46,6 +46,12 @@ def floor_row(size: str, batch: int, hbm_gbps: float, tk: int = 1500,
         "floor_ms_per_token": round(floor_ms, 3),
         "int8_cross_floor_ms": round(int8_total / (hbm_gbps * 1e9) * 1e3, 3),
         "int8_saving_pct": round(cross / 2 / total * 100, 1),
+        # Ceiling if decoder WEIGHTS also streamed int8 (w8a-bf16 serving —
+        # the next lever once the cross cache is quantized; weights are the
+        # dominant stream at small batch x large model, e.g. 44% at large
+        # b8).  Not implemented: recorded to frame the round-6 decision.
+        "int8_w_and_cross_floor_ms": round(
+            (total - cross / 2 - w_bytes / 2) / (hbm_gbps * 1e9) * 1e3, 3),
     }
 
 
