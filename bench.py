@@ -346,17 +346,21 @@ def main() -> None:
     # hangs forever and the whole bench blocks silently.  Probe a tiny
     # on-chip matmul in a subprocess with a hard timeout and emit a
     # parseable failure line instead of hanging.
-    if jax.default_backend() not in ("cpu",):
+    #
+    # The probe MUST run before this process initializes its own backend:
+    # the relay serializes clients, and a probe child started while the
+    # parent already holds the device takes ~170 s even on a HEALTHY relay
+    # (measured round 5) — three false bench_error exits came from exactly
+    # that before the probe was hoisted here.  Gating on the env var (not
+    # jax.default_backend(), which would initialize the backend) keeps the
+    # parent uninitialized until the probe verdict is in; pinning the
+    # child's JAX_PLATFORMS + asserting non-cpu prevents a vacuous pass on
+    # the CPU fallback when TPU init fails.
+    env_platforms = (os.environ.get("JAX_PLATFORMS") or "").split(",")[0]
+    if env_platforms and env_platforms != "cpu":
         import subprocess
         import sys as _sys
 
-        # Pin the child to the parent's platform: without this a child
-        # whose TPU init fails silently falls back to the CPU backend and
-        # the matmul "succeeds", vacuously passing the probe while the
-        # real data path is dead.
-        probe_env = dict(os.environ)
-        probe_env["JAX_PLATFORMS"] = probe_env.get(
-            "JAX_PLATFORMS", jax.default_backend())
         try:
             probe = subprocess.run(
                 [_sys.executable, "-c",
@@ -364,7 +368,7 @@ def main() -> None:
                  "assert jax.default_backend() != 'cpu';"
                  "x = jnp.ones((128, 128));"
                  "print(float(jax.jit(lambda a: (a @ a).sum())(x)))"],
-                capture_output=True, timeout=180, env=probe_env)
+                capture_output=True, timeout=180, env=dict(os.environ))
             probe_failed = probe.returncode != 0
         except subprocess.TimeoutExpired:
             probe_failed = True
